@@ -1,0 +1,72 @@
+"""DX7 algorithm topology table.
+
+The Yamaha DX7 routes its 6 FM operators through one of 32 fixed "algorithms".
+We model a patch as a 7-node directed graph: node 0 is the global/output root,
+nodes 1..6 are the operators.  An edge ``i -> j`` means operator *i* modulates
+*j* (or, for ``j = 0``, that *i* is a carrier feeding the output).  Each
+algorithm has exactly one feedback operator, encoded as a self-edge ``(k, k)``.
+
+This is hardware-spec data (the same routing table the reference encodes as
+src/dst lists, dxdata.py:140-171); here every algorithm is a list of
+``(src, dst)`` edges, compiled once into a static ``(32, 7, 7)`` boolean
+adjacency tensor ``ALGO_ADJ`` with ``ALGO_ADJ[a, i, j] = 1`` iff algorithm
+``a`` has edge ``i -> j``.  The dense tensor is the TPU-native form: building a
+batch of graphs is a single gather ``ALGO_ADJ[alg_bytes]``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_NODES = 7
+N_ALGORITHMS = 32
+
+# fmt: off
+ALGO_EDGES: tuple[tuple[tuple[int, int], ...], ...] = (
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 4), (6, 5), (6, 6)),                    # 1
+    ((1, 0), (2, 1), (2, 2), (3, 0), (4, 3), (5, 4), (6, 5)),                    # 2
+    ((1, 0), (2, 1), (3, 2), (4, 0), (5, 4), (6, 5), (6, 6)),                    # 3
+    ((1, 0), (2, 1), (3, 2), (4, 0), (4, 6), (5, 4), (6, 5)),                    # 4
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 0), (6, 5), (6, 6)),                    # 5
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 0), (5, 6), (6, 5)),                    # 6
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 3), (6, 5), (6, 6)),                    # 7
+    ((1, 0), (2, 1), (3, 0), (4, 3), (4, 4), (5, 3), (6, 5)),                    # 8
+    ((1, 0), (2, 1), (2, 2), (3, 0), (4, 3), (5, 3), (6, 5)),                    # 9
+    ((1, 0), (2, 1), (3, 2), (3, 3), (4, 0), (5, 4), (6, 4)),                    # 10
+    ((1, 0), (2, 1), (3, 2), (4, 0), (5, 4), (6, 4), (6, 6)),                    # 11
+    ((1, 0), (2, 1), (2, 2), (3, 0), (4, 3), (5, 3), (6, 3)),                    # 12
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 3), (6, 3), (6, 6)),                    # 13
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 4), (6, 4), (6, 6)),                    # 14
+    ((1, 0), (2, 1), (2, 2), (3, 0), (4, 3), (5, 4), (6, 4)),                    # 15
+    ((1, 0), (2, 1), (3, 1), (4, 3), (5, 1), (6, 5), (6, 6)),                    # 16
+    ((1, 0), (2, 1), (2, 2), (3, 1), (4, 3), (5, 1), (6, 5)),                    # 17
+    ((1, 0), (2, 1), (3, 1), (3, 3), (4, 1), (5, 4), (6, 5)),                    # 18
+    ((1, 0), (2, 1), (3, 2), (4, 0), (5, 0), (6, 4), (6, 5), (6, 6)),            # 19
+    ((1, 0), (2, 0), (3, 1), (3, 2), (3, 3), (4, 0), (5, 4), (6, 4)),            # 20
+    ((1, 0), (2, 0), (3, 1), (3, 2), (3, 3), (4, 0), (5, 0), (6, 4), (6, 5)),    # 21
+    ((1, 0), (2, 1), (3, 0), (4, 0), (5, 0), (6, 3), (6, 4), (6, 5), (6, 6)),    # 22
+    ((1, 0), (2, 0), (3, 2), (4, 0), (5, 0), (6, 4), (6, 5), (6, 6)),            # 23
+    ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 3), (6, 4), (6, 5), (6, 6)),    # 24
+    ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 4), (6, 5), (6, 6)),            # 25
+    ((1, 0), (2, 0), (4, 0), (3, 2), (5, 4), (6, 4), (6, 6)),                    # 26
+    ((1, 0), (2, 0), (3, 2), (3, 3), (4, 0), (5, 4), (6, 4)),                    # 27
+    ((1, 0), (2, 1), (3, 0), (4, 3), (5, 4), (5, 5), (6, 0)),                    # 28
+    ((1, 0), (2, 0), (3, 0), (4, 3), (5, 0), (6, 5), (6, 6)),                    # 29
+    ((1, 0), (2, 0), (3, 0), (4, 3), (5, 4), (5, 5), (6, 0)),                    # 30
+    ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 5), (6, 6)),                    # 31
+    ((1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0), (6, 6)),                    # 32
+)
+# fmt: on
+
+
+def _build_adj() -> np.ndarray:
+    adj = np.zeros((N_ALGORITHMS, N_NODES, N_NODES), dtype=np.bool_)
+    for a, edges in enumerate(ALGO_EDGES):
+        for src, dst in edges:
+            adj[a, src, dst] = True
+    return adj
+
+
+#: (32, 7, 7) bool — ALGO_ADJ[a, i, j] == True iff algorithm a has edge i -> j.
+ALGO_ADJ: np.ndarray = _build_adj()
+ALGO_ADJ.setflags(write=False)

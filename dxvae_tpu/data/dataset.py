@@ -1,0 +1,99 @@
+"""DX7 patch dataset with an npz disk cache.
+
+Replaces the reference's ``DXDataset(dgl.data.DGLDataset)`` (dxdata.py:77-338)
+with a plain-array dataset:
+
+* ``process`` recursively globs ``raw_dir/**/*.syx`` (sorted for determinism;
+  the reference relies on filesystem order, dxdata.py:321), concatenates all
+  banks and decodes them in one vectorized pass;
+* the cache is a single ``.npz`` of the three dense tensors, keyed on the file
+  list + sizes + codec version, stored as ``DXDataset.npz`` in ``save_dir``
+  (the reference's ``DXDataset.bin`` DGL cache never invalidates and has an
+  inconsistent ``dataset[0]`` shape between the cache and fresh paths,
+  dxdata.py:325-338 — both fixed here: ``dataset[idx]`` is always a length-1
+  :class:`GraphBatch` and ``dataset.batch`` is always the full batch);
+* the shipped reference cache holds the 32 SynprezFM banks only (1024
+  patches); a fresh build over the full ``DX_data`` tree yields 1056.  Pass
+  ``include='synprez'`` to reproduce the 1024-patch baseline set.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+from typing import Sequence
+
+import numpy as np
+
+from dxvae_tpu.data.sysex import read_syx, unpack_voices
+from dxvae_tpu.graph import GraphBatch
+
+_CODEC_VERSION = 1
+
+
+def _cache_key(files: Sequence[Path]) -> str:
+    h = hashlib.sha256()
+    h.update(f"v{_CODEC_VERSION}".encode())
+    for f in files:
+        h.update(str(f).encode())
+        h.update(str(f.stat().st_size).encode())
+    return h.hexdigest()[:16]
+
+
+class DXDataset:
+    """Decode every ``.syx`` bank under ``raw_dir`` into dense graph tensors.
+
+    Parameters mirror the reference ctor (dxdata.py:139): ``raw_dir`` holds
+    the banks, ``save_dir`` (default: ``raw_dir``) holds the cache.
+    """
+
+    def __init__(
+        self,
+        raw_dir: str | os.PathLike,
+        save_dir: str | os.PathLike | None = None,
+        force_reload: bool = False,
+        include: str | None = None,
+    ):
+        self.raw_dir = Path(raw_dir)
+        self.save_dir = Path(save_dir) if save_dir is not None else self.raw_dir
+        files = sorted(self.raw_dir.rglob("*.syx"))
+        if include == "synprez":
+            files = [f for f in files if "SynprezFM" in f.name]
+        if not files:
+            raise FileNotFoundError(f"no .syx banks under {self.raw_dir}")
+        self.files = files
+        self._cache_path = self.save_dir / f"DXDataset_{_cache_key(files)}.npz"
+
+        if self._cache_path.exists() and not force_reload:
+            self.batch = self._load()
+        else:
+            self.batch = self._process()
+            self._save()
+
+    # -- lifecycle ---------------------------------------------------------
+    def _process(self) -> GraphBatch:
+        raw = np.concatenate([read_syx(f) for f in self.files])  # (n_files*32, 128)
+        params, X, adj = unpack_voices(raw)
+        return GraphBatch(X=X, params=params, adj=adj)
+
+    def _save(self) -> None:
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        tmp = self._cache_path.with_suffix(".tmp.npz")
+        np.savez_compressed(tmp, X=self.batch.X, params=self.batch.params, adj=self.batch.adj)
+        os.replace(tmp, self._cache_path)  # atomic publish
+
+    def _load(self) -> GraphBatch:
+        with np.load(self._cache_path) as z:
+            return GraphBatch(X=z["X"], params=z["params"], adj=z["adj"])
+
+    # -- container protocol --------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.batch)
+
+    def __getitem__(self, idx) -> GraphBatch:
+        if isinstance(idx, int):
+            idx = slice(idx, idx + 1) if idx != -1 else slice(-1, None)
+        if isinstance(idx, slice):
+            return GraphBatch(self.batch.X[idx], self.batch.params[idx], self.batch.adj[idx])
+        return self.batch.take(idx)

@@ -1,0 +1,51 @@
+"""Dense graph-batch container.
+
+The reference carries each patch as a mutable ``DGLGraph`` with
+``ndata['X']``/``ndata['params']`` (dxdata.py:308-312).  TPU-natively a batch
+of B patches is three fixed-shape arrays — no graph objects, no pointers:
+
+* ``X``      ``(B, 7, 27) float32`` — normalized node features for training
+             (row 0 = global node, rows 1..6 = operators; feature layout per
+             dxdata.py:226-242 / 283-298),
+* ``params`` ``(B, 7, 21) int32``   — integer DX7 parameters "for viewing" and
+             for SysEx serialization (dxdata.py:208-224 / 264-281),
+* ``adj``    ``(B, 7, 7)  float32`` — adjacency, ``adj[b, i, j] = 1`` iff edge
+             ``i -> j`` (feedback self-loops on the diagonal).
+
+Everything downstream (encoder scan, decoder, loss) consumes these arrays
+directly; a batch of graphs is constructed with a single table gather
+``ALGO_ADJ[alg]``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class GraphBatch(NamedTuple):
+    """A batch of DX7 patch graphs as dense tensors."""
+
+    X: np.ndarray        # (B, 7, 27) float32
+    params: np.ndarray   # (B, 7, 21) int32
+    adj: np.ndarray      # (B, 7, 7)  float32
+
+    def __len__(self) -> int:
+        return int(self.X.shape[0])
+
+    def take(self, idx) -> "GraphBatch":
+        """Gather a sub-batch by integer indices (host-side, NumPy)."""
+        idx = np.asarray(idx)
+        return GraphBatch(self.X[idx], self.params[idx], self.adj[idx])
+
+    def slice(self, start: int, stop: int) -> "GraphBatch":
+        return GraphBatch(self.X[start:stop], self.params[start:stop], self.adj[start:stop])
+
+    @staticmethod
+    def concat(batches: "list[GraphBatch]") -> "GraphBatch":
+        return GraphBatch(
+            np.concatenate([b.X for b in batches]),
+            np.concatenate([b.params for b in batches]),
+            np.concatenate([b.adj for b in batches]),
+        )
