@@ -1,0 +1,217 @@
+"""Public API parity layer.
+
+Presents the reference's user-facing surface (model.py:11,200-391;
+dxdata.py:77,341; main.py:12-47) on top of the pure-function TPU core:
+
+* :class:`DXVAE` with ``encode / decode / encode_decode / generate / forward /
+  train`` and ctor ``checkpoint=`` loading (both our ``.npz`` checkpoints and
+  reference torch ``.chk`` state_dicts are accepted);
+* :class:`DXDataset` (re-export of the array dataset);
+* :func:`graph_to_syx` writing a 32-voice bank file.
+
+Where the reference exposed mutable DGLGraphs, this API exchanges
+:class:`GraphBatch` dense tensors.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxvae_tpu.data.dataset import DXDataset  # noqa: F401  (re-export)
+from dxvae_tpu.data.sysex import params_to_syx_file
+from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.models import (
+    DXVAEConfig,
+    LossWeights,
+    decode as _decode,
+    elbo_loss as _elbo_loss,
+    encode as _encode,
+    init_params,
+)
+from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh
+from dxvae_tpu.parallel.train import TrainState, init_train_state, make_optimizer, make_train_step
+from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
+from dxvae_tpu.utils.metrics import MetricsLogger
+
+
+class DXVAE:
+    """Drop-in style wrapper matching the reference DXVAE surface (model.py:11)."""
+
+    def __init__(
+        self,
+        n_nodes: int = 7,
+        n_params: int = 21,
+        size_X: int = 27,
+        size_X0: int = 23,
+        size_H: int = 512,
+        size_Z: int = 128,
+        checkpoint: str | None = None,
+        seed: int = 0,
+        strict_parity: bool = True,
+    ):
+        self.cfg = DXVAEConfig(
+            n_nodes=n_nodes,
+            n_params=n_params,
+            size_x=size_X,
+            size_x0=size_X0,
+            size_h=size_H,
+            size_z=size_Z,
+            strict_parity=strict_parity,
+        )
+        self._key = jax.random.PRNGKey(seed)
+        self.params = init_params(self._next_key(), self.cfg)
+        self.training = True  # reference parity: .eval() never called (model.py:374-391)
+        if checkpoint is not None:
+            self.load(checkpoint)
+
+        cfg = self.cfg
+        self._encode_jit = jax.jit(lambda p, X, adj: _encode(p, X, adj, cfg)[:2])
+        self._decode_jit = jax.jit(lambda p, z: _decode(p, z, cfg))
+
+    # -- internals -----------------------------------------------------------
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    @staticmethod
+    def _as_arrays(G: GraphBatch):
+        X = jnp.asarray(G.X, jnp.float32)
+        P = jnp.asarray(G.params, jnp.int32)
+        adj = jnp.asarray(G.adj, jnp.float32)
+        return X, P, adj
+
+    # -- persistence -----------------------------------------------------------
+    def load(self, checkpoint: str) -> None:
+        """Load weights from our .npz or a reference torch .chk state_dict."""
+        path = Path(checkpoint)
+        if path.suffix == ".npz" or path.name.endswith(".chk.npz"):
+            self.params = load_checkpoint(path, self.params)
+        else:
+            import torch
+
+            sd = torch.load(path, map_location="cpu")
+            self.params = jax.tree.map(
+                jnp.asarray, import_torch_state_dict(sd, jax.tree.map(np.asarray, self.params))
+            )
+
+    def save(self, checkpoint: str) -> None:
+        save_checkpoint(checkpoint, self.params, params_only=True)
+
+    # -- reference API (model.py:200-268) -------------------------------------
+    def encode(self, G: GraphBatch):
+        """Graphs -> posterior (mu, std), each (B, size_Z) (model.py:200-212)."""
+        X, _, adj = self._as_arrays(G)
+        return self._encode_jit(self.params, X, adj)
+
+    def decode(self, z) -> GraphBatch:
+        """Latents -> generated graphs (model.py:214-253). Deterministic given z."""
+        X, P, adj = self._decode_jit(self.params, jnp.asarray(z, jnp.float32))
+        return GraphBatch(
+            X=np.asarray(X), params=np.asarray(P).astype(np.int32), adj=np.asarray(adj)
+        )
+
+    def encode_decode(self, G_true: GraphBatch, stochastic: bool = False) -> GraphBatch:
+        """Round trip through the posterior mean (or a sample) (model.py:255-262)."""
+        mu, std = self.encode(G_true)
+        if stochastic:
+            z = mu + std * jax.random.normal(self._next_key(), mu.shape, mu.dtype)
+        else:
+            z = mu
+        return self.decode(z)
+
+    def generate(self, n: int) -> GraphBatch:
+        """Sample z ~ N(0, I) and decode (model.py:264-268)."""
+        z = jax.random.normal(self._next_key(), (n, self.cfg.size_z), jnp.float32)
+        return self.decode(z)
+
+    def forward(self, G_true: GraphBatch, w_env=2.0, w_frq=5.0, w_kld=0.01):
+        """encode -> teacher-forced ELBO; returns (loss, lx0, lxi, le, kld)
+        (model.py:369-372).  Reference parity: always rsamples, because the
+        reference's ``self.training`` is always True (its .train() is shadowed
+        and .eval() never called — quirk ledger)."""
+        X, P, adj = self._as_arrays(G_true)
+        weights = LossWeights(w_env, w_frq, w_kld)
+        cfg = self.cfg
+
+        def f(params, X, P, adj, key):
+            mu, std, st = _encode(params, X, adj, cfg)
+            return _elbo_loss(
+                params, mu, std, X, P, adj,
+                key=key, training=True, weights=weights, cfg=cfg, init_state=st,
+            )
+
+        total, (lx0, lxi, le, kld) = jax.jit(f)(self.params, X, P, adj, self._next_key())
+        return total, lx0, lxi, le, kld
+
+    # -- training (model.py:374-391 semantics, TPU execution) ------------------
+    def train(
+        self,
+        G_true: GraphBatch,
+        epochs: int,
+        size_batch: int = 32,
+        lr: float = 0.001,
+        checkpoint: str | None = None,
+        w_env: float = 2.0,
+        w_frq: float = 5.0,
+        w_kld: float = 0.01,
+        metrics_csv: str | None = None,
+        extra_epoch: bool = True,
+        n_data: int | None = None,
+        shuffle_seed: int | None = None,
+    ):
+        """AdamW training loop with reference semantics: shuffle every epoch,
+        ``floor(n / size_batch)`` iterations (remainder dropped), per-batch
+        stdout losses, checkpoint saved every epoch; ``extra_epoch`` keeps the
+        reference's ``range(epochs + 1)`` off-by-one (model.py:374-391).
+
+        Executes as one jitted update step per batch, data-parallel over the
+        mesh 'data' axis (gradient all-reduce over ICI inserted by XLA).
+        """
+        X_all = np.asarray(G_true.X, np.float32)
+        P_all = np.asarray(G_true.params, np.int32)
+        A_all = np.asarray(G_true.adj, np.float32)
+        n_samples = len(G_true)
+        n_iters = n_samples // size_batch
+
+        optimizer = make_optimizer(lr)
+        state = init_train_state(self._next_key(), optimizer, self.cfg, params=self.params)
+        step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
+
+        mesh = make_mesh(n_data=n_data)
+        sharding = batch_sharding(mesh)
+        log = MetricsLogger(metrics_csv)
+        rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
+
+        total_epochs = epochs + 1 if extra_epoch else epochs
+        for epoch in range(total_epochs):
+            log.epoch(epoch)
+            perm = rng.permutation(n_samples)
+            for i in range(n_iters):
+                idx = perm[i * size_batch : (i + 1) * size_batch]
+                bx = jax.device_put(X_all[idx], sharding)
+                bp = jax.device_put(P_all[idx], sharding)
+                ba = jax.device_put(A_all[idx], sharding)
+                state, metrics = step_fn(state, bx, bp, ba, self._next_key())
+                log.batch(i, metrics, step=int(state.step))
+            if checkpoint is not None:
+                self.params = state.params
+                save_checkpoint(checkpoint, state)
+                log.checkpoint_saved(checkpoint)
+        self.params = state.params
+        log.finished()
+        return state
+
+    def _host_seed(self) -> int:
+        return int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1))
+
+
+def graph_to_syx(G: GraphBatch, file: str = "gen_patch.syx", checksum: str = "parity"):
+    """Serialize exactly 32 graphs to a .syx bank (dxdata.py:341-397 parity:
+    hardcoded 0x58 checksum and "DX-VAE...." names by default; pass
+    ``checksum='computed'`` for a hardware-valid bank)."""
+    params = G.params if isinstance(G, GraphBatch) else np.asarray(G)
+    return params_to_syx_file(np.asarray(params, np.int64), file, checksum=checksum)

@@ -1,0 +1,148 @@
+"""Command-line driver.
+
+Exposes the reference's driver workflows (main.py:12-47) — ``train_new``,
+``train_on``, ``decode_test``, ``generate_test``, ``forward_test``, plus bank
+export — behind a real argparse CLI (the reference requires editing commented
+lines in ``__main__``, main.py:50-77).
+
+    python -m dxvae_tpu.cli train-new --raw-dir DX_data --epochs 50 \
+        --w-env 3 --w-frq 6 --w-kld 0.002 --checkpoint checkpoints/dx_1024.npz
+    python -m dxvae_tpu.cli generate --n 32 --checkpoint ... --out gen_patch.syx
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+from dxvae_tpu.api import DXVAE, DXDataset, graph_to_syx
+from dxvae_tpu.graph import GraphBatch
+
+
+def print_data(G: GraphBatch) -> None:
+    """Per-graph params + edge list dump (main.py:6-9 contract)."""
+    for idx in range(len(G)):
+        print(f"#{idx} Params:\n", G.params[idx])
+        src, dst = np.nonzero(G.adj[idx] > 0.5)
+        print(f"#{idx} Edges:\n", (list(src), list(dst)), "\n")
+
+
+def _load_graphs(args) -> GraphBatch:
+    ds = DXDataset(args.raw_dir, include="synprez" if args.synprez_only else None)
+    return ds.batch
+
+
+def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
+    model = DXVAE()
+    model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
+    return model
+
+
+def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
+    model = DXVAE(checkpoint=chk)
+    model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
+    return model
+
+
+def decode_test(G_en, chk, stochastic=False, printout=True):
+    model = DXVAE(checkpoint=chk)
+    G_de = model.encode_decode(G_en, stochastic=stochastic)
+    if printout:
+        print("[ Encode ]")
+        print_data(G_en)
+        print("[ Decode ]")
+        print_data(G_de)
+    return G_de
+
+
+def generate_test(n=1, chk=None, printout=True):
+    model = DXVAE(checkpoint=chk)
+    G_gen = model.generate(n)
+    if printout:
+        print("[ Generate ]")
+        print_data(G_gen)
+    return G_gen
+
+
+def forward_test(G, chk=None):
+    model = DXVAE(checkpoint=chk)
+    loss, lx0, lxi, le, kld = model.forward(G)
+    print(
+        f"loss: {float(loss):.4f}\tx0: {float(lx0):.4f}\txi: {float(lxi):.4f}"
+        f"\te: {float(le):.4f}\tkld: {float(kld):.4f}"
+    )
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="dxvae_tpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, train=False):
+        sp.add_argument("--raw-dir", default="DX_data")
+        sp.add_argument("--synprez-only", action="store_true",
+                        help="restrict to the 1024-patch baseline subset")
+        sp.add_argument("--checkpoint", default="auto.chk.npz")
+        if train:
+            sp.add_argument("--epochs", type=int, default=500)
+            sp.add_argument("--size-batch", type=int, default=32)
+            sp.add_argument("--lr", type=float, default=1e-3)
+            sp.add_argument("--w-env", type=float, default=2.0)
+            sp.add_argument("--w-frq", type=float, default=5.0)
+            sp.add_argument("--w-kld", type=float, default=0.01)
+            sp.add_argument("--metrics-csv", default=None)
+            sp.add_argument("--no-extra-epoch", action="store_true",
+                            help="drop the reference's range(epochs+1) off-by-one")
+
+    common(sub.add_parser("train-new", help="train from scratch (main.py:12)"), train=True)
+    common(sub.add_parser("train-on", help="resume from checkpoint (main.py:18)"), train=True)
+    sp = sub.add_parser("decode-test", help="encode->decode round trip (main.py:24)")
+    common(sp)
+    sp.add_argument("--index", type=int, default=12)
+    sp.add_argument("--stochastic", action="store_true")
+    sp = sub.add_parser("generate", help="prior-sample patches (main.py:35)")
+    common(sp)
+    sp.add_argument("--n", type=int, default=1)
+    sp.add_argument("--out", default=None, help="write a 32-voice .syx bank here")
+    sp.add_argument("--computed-checksum", action="store_true")
+    sp.add_argument("--quiet", action="store_true")
+    sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
+    common(sp)
+    sp.add_argument("--index", type=int, default=15)
+    sp = sub.add_parser("print-data", help="dump params/edges (main.py:6)")
+    common(sp)
+    sp.add_argument("--index", type=int, default=0)
+    sp.add_argument("--count", type=int, default=1)
+
+    args = p.parse_args(argv)
+
+    if args.cmd in ("train-new", "train-on"):
+        G = _load_graphs(args)
+        fn = train_new if args.cmd == "train-new" else train_on
+        fn(
+            G, args.checkpoint, args.epochs, args.size_batch, args.lr,
+            args.w_env, args.w_frq, args.w_kld,
+            metrics_csv=args.metrics_csv, extra_epoch=not args.no_extra_epoch,
+        )
+    elif args.cmd == "decode-test":
+        G = _load_graphs(args)
+        decode_test(G.slice(args.index, args.index + 1), args.checkpoint, args.stochastic)
+    elif args.cmd == "generate":
+        G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet)
+        if args.out:
+            graph_to_syx(
+                G_gen, args.out,
+                checksum="computed" if args.computed_checksum else "parity",
+            )
+            print(f"wrote {args.out}")
+    elif args.cmd == "forward-test":
+        G = _load_graphs(args)
+        forward_test(G.slice(args.index, args.index + 1), args.checkpoint)
+    elif args.cmd == "print-data":
+        G = _load_graphs(args)
+        print_data(G.slice(args.index, args.index + args.count))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

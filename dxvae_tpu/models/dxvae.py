@@ -1,0 +1,361 @@
+"""DX-VAE core model: pure-function JAX implementation.
+
+Re-design of the reference ``DXVAE(nn.Module)`` (model.py:10-391) for TPU:
+
+* **No graph objects, no mutable state.**  The reference's per-sample DGL
+  queries and Python list-of-lists hidden container (model.py:20,83-85,
+  164-196) become dense masked tensor math over ``(B, 7, H)`` arrays — legal
+  because the graph size is a compile-time constant (7 nodes).
+* **Static unroll.**  The forward pass is a fixed cadence of 41 propagate
+  steps (7 encode + 34 decode, SURVEY.md §3.1); each is a handful of fused
+  matmuls + VPU work under one ``jit``, instead of 41 Python-dispatched
+  GRU calls.
+* **Identical numerics.**  Gate order, window masking, the gated-sum
+  aggregator, quantizer grids, loss reductions and the KL(p||q) direction all
+  match the reference so a torch checkpoint imports weight-for-weight.
+
+Model recurrence (matching model.py:151-198):
+  - encode visits nodes 6 -> 0; node v aggregates messages from already-visited
+    nodes x > v that are its predecessors (forth) / successors (back);
+  - decode visits nodes 1 -> 6 autoregressively; node vi's hidden state is
+    refreshed after the node is added, after its self-loop decision, and after
+    each edge-pair decision against vj = vi-1 .. 0 (vi + 2 refreshes total);
+  - the root node uses a separate GRU on the first 23 feature dims; every
+    non-root update applies a combiner GRU then a self-loop GRU whose input is
+    the node features iff the node currently has a feedback self-loop.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dxvae_tpu.models import layers as L
+from dxvae_tpu.models.quantize import reg_x0, reg_xi
+from dxvae_tpu.ops.propagate import PropState, gated_aggregate, pack_gate_mapper
+
+
+class DXVAEConfig(NamedTuple):
+    """Hyperparameters (reference ctor defaults, model.py:11)."""
+
+    n_nodes: int = 7
+    n_params: int = 21
+    size_x: int = 27
+    size_x0: int = 23
+    size_h: int = 512
+    size_z: int = 128
+    strict_parity: bool = True
+
+
+class LossWeights(NamedTuple):
+    """Loss weights (reference defaults, model.py:270)."""
+
+    w_env: float = 2.0
+    w_frq: float = 5.0
+    w_kld: float = 0.01
+
+
+# --------------------------------------------------------------------------- #
+# parameters
+# --------------------------------------------------------------------------- #
+
+def init_params(key, cfg: DXVAEConfig = DXVAEConfig()) -> dict:
+    """Initialize the full parameter pytree (12,083,541 params at defaults,
+    matching the reference layer dims, model.py:23-72)."""
+    h, z, x, x0 = cfg.size_h, cfg.size_z, cfg.size_x, cfg.size_x0
+    k = iter(jax.random.split(key, 16))
+    return {
+        # encoder (model.py:24-30)
+        "enc_combiner": L.gru_init(next(k), x, h),
+        "enc_looper": L.gru_init(next(k), x, h),
+        "enc_rooter": L.gru_init(next(k), x0, h),
+        "h_to_mu": L.linear_init(next(k), h, z),
+        "h_to_std": L.linear_init(next(k), h, z),  # + softplus at apply time
+        # decoder (model.py:33-63)
+        "dec_combiner": L.gru_init(next(k), x, h),
+        "dec_looper": L.gru_init(next(k), x, h),
+        "dec_rooter": L.gru_init(next(k), x0, h),
+        "z_to_h": L.linear_init(next(k), z, h),  # + tanh
+        "h_to_x0": L.mlp_init(next(k), [h, 2 * h, 2 * h, x0 + 32]),
+        "h_to_x": L.mlp_init(next(k), [h, 2 * h, 2 * h, x]),
+        "h_to_edge_self": L.mlp_init(next(k), [h, 2 * h, 1]),
+        "h_to_edge": L.mlp_init(next(k), [2 * h, 4 * h, 2]),
+        # gated-sum aggregator (model.py:66-72); mapper bias disabled so
+        # zero-padded window slots map to zero
+        "gate": L.linear_init(next(k), 2 * h, h),
+        "mapper": L.linear_init(next(k), 2 * h, h, bias=False),
+    }
+
+
+def param_count(params) -> int:
+    return sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(params))
+
+
+def _w_pack(params):
+    return pack_gate_mapper(params["gate"]["w"], params["mapper"]["w"])
+
+
+# --------------------------------------------------------------------------- #
+# encoder
+# --------------------------------------------------------------------------- #
+
+def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
+    """Asynchronous message-passing encoder (model.py:200-212).
+
+    ``X (B,7,27)``, ``adj (B,7,7)`` -> posterior ``(mu, std)`` each ``(B, Z)``.
+    Visits nodes 6 -> 0; message windows are restricted to already-visited
+    (higher-index) nodes.  Returns the final PropState too, because the
+    reference's ``loss()`` relies on ``encode`` having populated the hidden
+    container (model.py:200-201 precondition; harmless here — decode windows
+    only read nodes it has already overwritten).
+    """
+    n, h = cfg.n_nodes, cfg.size_h
+    b = X.shape[0]
+    st = PropState.zeros(b, n, h, X.dtype)
+    wp = _w_pack(params)
+    gate_b = params["gate"]["b"]
+    node_ids = np.arange(n)
+
+    for v in range(n - 1, -1, -1):
+        if v == n - 1:
+            h_in = jnp.zeros((b, h), X.dtype)  # leaf starts from zero H_init (model.py:203-204)
+        else:
+            win = jnp.asarray((node_ids > v).astype(np.float32))
+            mf = adj[:, :, v] * win  # predecessors of v in the visited window
+            mb = adj[:, v, :] * win  # successors of v in the visited window
+            h_in = gated_aggregate(st, mf, mb, gate_b)
+        if v == 0:
+            hv = L.gru(params["enc_rooter"], X[:, 0, : cfg.size_x0], h_in)
+        else:
+            hv = L.gru(params["enc_combiner"], X[:, v], h_in)
+            x_loop = X[:, v] * adj[:, v, v][:, None]  # features iff self-loop
+            hv = L.gru(params["enc_looper"], x_loop, hv)
+        st = st.write(v, hv, wp)
+
+    h0 = st.hidden[:, 0]
+    mu = L.linear(params["h_to_mu"], h0)
+    std = jax.nn.softplus(L.linear(params["h_to_std"], h0))
+    return mu, std, st
+
+
+def _decode_propagate(params, st, vi, x_vi, mask_in, mask_back, self_loop, wp):
+    """One decode-direction propagate of node ``vi`` (model.py:151-198,
+    decode branch): aggregate over window x < vi with the given edge masks,
+    then combiner GRU + self-loop GRU."""
+    h_in = gated_aggregate(st, mask_in, mask_back, params["gate"]["b"])
+    hv = L.gru(params["dec_combiner"], x_vi, h_in)
+    hv = L.gru(params["dec_looper"], x_vi * self_loop[:, None], hv)
+    return st.write(vi, hv, wp)
+
+
+# --------------------------------------------------------------------------- #
+# autoregressive generation decoder
+# --------------------------------------------------------------------------- #
+
+def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | None = None):
+    """Autoregressive node-and-edge decoder (model.py:214-253).
+
+    ``z (B, Z)`` -> ``(X (B,7,27), params_int (B,7,21), adj (B,7,7))``.
+    Deterministic given z (threshold/argmax decisions).  Generated edges feed
+    back into message passing within the same step: the adjacency is carried
+    as a dense mask and every edge decision is a masked update.
+    """
+    n, h = cfg.n_nodes, cfg.size_h
+    b = z.shape[0]
+    dt = z.dtype
+    wp = _w_pack(params)
+
+    st = init_state if init_state is not None else PropState.zeros(b, n, h, dt)
+
+    h_init = jnp.tanh(L.linear(params["z_to_h"], z))
+    x0_plus = L.mlp(params["h_to_x0"], h_init)
+    x0, p0 = reg_x0(x0_plus, cfg.size_x, cfg.n_params)
+    h0 = L.gru(params["dec_rooter"], x0[:, : cfg.size_x0], h_init)  # H_in given = h_init
+    st = st.write(0, h0, wp)
+
+    X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
+    P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
+    adj = jnp.zeros((b, n, n), dt)
+    zeros_mask = jnp.zeros((b, n), dt)
+
+    node_ids = np.arange(n)
+    for vi in range(1, n):
+        # predict node vi's features from node vi-1's (final) hidden state
+        xi_raw = L.mlp(params["h_to_x"], st.hidden[:, vi - 1])
+        xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
+        X = X.at[:, vi].set(xi)
+        P = P.at[:, vi].set(pi)
+
+        # propagate with no incident edges yet
+        no_loop = jnp.zeros((b,), dt)
+        st = _decode_propagate(params, st, vi, xi, zeros_mask, zeros_mask, no_loop, wp)
+
+        # self-loop decision, then re-propagate (model.py:236-240)
+        s = (jax.nn.sigmoid(L.mlp(params["h_to_edge_self"], st.hidden[:, vi]))[:, 0] > 0.5)
+        s = s.astype(dt)
+        adj = adj.at[:, vi, vi].set(s)
+        win = jnp.asarray((node_ids < vi).astype(np.float32)).astype(dt)
+        st = _decode_propagate(
+            params, st, vi, xi, adj[:, :, vi] * win, adj[:, vi, :] * win, s, wp
+        )
+
+        # in/out edge decisions vs vj = vi-1 .. 0, re-propagating after each
+        for vj in range(vi - 1, -1, -1):
+            e = L.mlp(params["h_to_edge"], jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1))
+            e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
+            e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
+            adj = adj.at[:, vj, vi].set(e_in)
+            adj = adj.at[:, vi, vj].set(e_out)
+            st = _decode_propagate(
+                params, st, vi, xi, adj[:, :, vi] * win, adj[:, vi, :] * win, s, wp
+            )
+
+    return X, P, adj
+
+
+def generate(params, key, n: int, cfg: DXVAEConfig = DXVAEConfig()):
+    """Prior sampling: z ~ N(0, I) -> decode (model.py:264-268)."""
+    z = jax.random.normal(key, (n, cfg.size_z), jnp.float32)
+    return decode(params, z, cfg)
+
+
+# --------------------------------------------------------------------------- #
+# teacher-forced ELBO loss
+# --------------------------------------------------------------------------- #
+
+def elbo_loss(
+    params,
+    mu,
+    std,
+    X_true,
+    params_true,
+    adj_true,
+    key=None,
+    training: bool = True,
+    weights: LossWeights = LossWeights(),
+    cfg: DXVAEConfig = DXVAEConfig(),
+    init_state: PropState | None = None,
+):
+    """Teacher-forced ELBO (model.py:270-367), identical decomposition:
+
+    loss = loss_X0 + loss_Xi + loss_E + w_kld * KL(p || q)
+
+    with the reference's (deliberate) reduction mix — feature-summed
+    batch-means for MSE/BCE slices, plain batch-means for CE and scalar BCEs —
+    and the reversed KL direction KL(p||q) (model.py:365, quirk kept because
+    it affects trained loss values).
+
+    Mirrors the decoder's propagate cadence exactly: the staged edge masks at
+    each refresh are closed-form slices of ``adj_true`` (no graph mutation
+    needed): after the self-loop refresh, node vi sees edges to x in [vj, vi)
+    after each vj step.
+    """
+    n = cfg.n_nodes
+    b = X_true.shape[0]
+    dt = X_true.dtype
+    w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
+    wp = _w_pack(params)
+
+    if training:
+        if key is None:
+            raise ValueError("training=True requires a PRNG key for the reparameterized sample")
+        z = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
+    else:
+        z = mu
+
+    h_init = jnp.tanh(L.linear(params["z_to_h"], z))
+    x0_pred = L.mlp(params["h_to_x0"], h_init)  # (B, 55) raw head output
+
+    st = init_state if init_state is not None else PropState.zeros(b, n, cfg.size_h, dt)
+    # teacher-force X0_true, compute H0 with given H_in = h_init (model.py:291-297)
+    x0_true = X_true[:, 0, :]
+    h0 = L.gru(params["dec_rooter"], x0_true[:, : cfg.size_x0], h_init)
+    st = st.write(0, h0, wp)
+
+    p0_true = params_true[:, 0, :]
+    mse = lambda a, t: (a - t) ** 2
+
+    # ---- loss_X0 (model.py:300-308)
+    loss_x0 = (
+        mse(x0_pred[:, :8] * w_env, x0_true[:, :8] * w_env).mean(0).sum()
+        + mse(x0_pred[:, 8] * w_frq, x0_true[:, 8] * w_frq).mean()
+        + mse(x0_pred[:, 9:15], x0_true[:, 9:15]).mean(0).sum()
+        + L.bce_with_logits(x0_pred[:, 15:17], x0_true[:, 15:17]).mean(0).sum()
+        + L.cross_entropy(x0_pred[:, 17:23], p0_true[:, 17]).mean()
+        + L.cross_entropy(x0_pred[:, 23:], p0_true[:, 18]).mean()
+    )
+
+    loss_xi = jnp.zeros((), dt)
+    loss_e = jnp.zeros((), dt)
+    node_ids = np.arange(n)
+
+    for vi in range(1, n):
+        xi_pred = L.mlp(params["h_to_x"], st.hidden[:, vi - 1])
+        xi_true = X_true[:, vi, :]
+        pi_true = params_true[:, vi, :]
+
+        # parameter loss (model.py:323-328)
+        loss_xi = loss_xi + (
+            mse(xi_pred[:, :9] * w_env, xi_true[:, :9] * w_env).mean(0).sum()
+            + mse(xi_pred[:, 9] * w_frq, xi_true[:, 9] * w_frq).mean()
+            + mse(xi_pred[:, 10:18], xi_true[:, 10:18]).mean(0).sum()
+            + L.bce_with_logits(xi_pred[:, 18], xi_true[:, 18]).mean()
+            + L.cross_entropy(xi_pred[:, 19:23], pi_true[:, 19]).mean()
+            + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
+        )
+
+        # teacher-force node vi, propagate with no incident edges
+        zeros_mask = jnp.zeros((b, n), dt)
+        no_loop = jnp.zeros((b,), dt)
+        st = _decode_propagate(params, st, vi, xi_true, zeros_mask, zeros_mask, no_loop, wp)
+
+        # self-loop: predict from Hi, teacher-force true loop, re-propagate
+        self_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi])  # (B, 1)
+        self_true = adj_true[:, vi, vi][:, None]
+        loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
+
+        win = jnp.asarray((node_ids < vi).astype(np.float32)).astype(dt)
+        s_true = adj_true[:, vi, vi]
+        st = _decode_propagate(params, st, vi, xi_true, zeros_mask, zeros_mask, s_true, wp)
+
+        # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate
+        for vj in range(vi - 1, -1, -1):
+            e_logit = L.mlp(
+                params["h_to_edge"],
+                jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1),
+            )  # (B, 2)
+            e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
+            loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
+            # edges for x in [vj, vi) are now materialized
+            staged = jnp.asarray((node_ids >= vj).astype(np.float32)).astype(dt) * win
+            st = _decode_propagate(
+                params, st, vi, xi_true,
+                adj_true[:, :, vi] * staged, adj_true[:, vi, :] * staged, s_true, wp,
+            )
+
+    # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
+    kld = (jnp.log(std) + (1.0 + mu**2) / (2.0 * std**2) - 0.5).mean(0).sum()
+    kld_w = kld * w_kld
+    total = loss_x0 + loss_xi + loss_e + kld_w
+    return total, (loss_x0, loss_xi, loss_e, kld_w)
+
+
+def forward(
+    params,
+    X_true,
+    params_true,
+    adj_true,
+    key=None,
+    training: bool = True,
+    weights: LossWeights = LossWeights(),
+    cfg: DXVAEConfig = DXVAEConfig(),
+):
+    """encode -> loss (model.py:369-372). Returns (loss, (lx0, lxi, le, kld))."""
+    mu, std, st = encode(params, X_true, adj_true, cfg)
+    return elbo_loss(
+        params, mu, std, X_true, params_true, adj_true,
+        key=key, training=training, weights=weights, cfg=cfg, init_state=st,
+    )

@@ -1,0 +1,176 @@
+"""Checkpoint save / load / torch import.
+
+Improves on the reference (model.py:388, torch.save of the weights only,
+non-atomic, optimizer state lost on resume — SURVEY.md §5):
+
+* a checkpoint is a single ``.npz`` of the flattened pytree (params +
+  optimizer state + step + PRNG key), written atomically (tmp + rename), so a
+  crash can never leave a torn file;
+* ``save_checkpoint(..., params_only=True)`` preserves the reference's
+  "weights only / resume restarts AdamW moments" mode for API parity;
+* :func:`import_torch_state_dict` maps a reference ``.chk`` state_dict
+  (model.py:23-72 module names) onto our pytree weight-for-weight, for
+  checkpoint-parity runs when a torch checkpoint exists.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+
+
+def _flatten(tree) -> dict:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+        )
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _unflatten_like(template, flat: dict):
+    paths, treedef = jax.tree_util.tree_flatten_with_path(template)
+    leaves = []
+    for path, leaf in paths:
+        key = "/".join(
+            str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+        )
+        if key not in flat:
+            raise KeyError(f"checkpoint missing leaf {key!r}")
+        saved = flat[key]
+        if saved.shape != np.asarray(leaf).shape:
+            raise ValueError(f"shape mismatch for {key}: {saved.shape} vs {np.asarray(leaf).shape}")
+        leaves.append(saved.astype(np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_checkpoint(path, state, params_only: bool = False) -> None:
+    """Atomically save a TrainState (or bare params pytree if params_only)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if params_only or not hasattr(state, "params"):
+        tree = {"params": state if not hasattr(state, "params") else state.params}
+    else:
+        tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    flat = {f"t/{k}": v for k, v in _flatten(tree).items()}
+    tmp = path.with_name(path.name + ".tmp")
+    np.savez(tmp, **flat)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path, template):
+    """Load into the structure of ``template`` (a TrainState or params pytree).
+
+    If the file only holds params (reference-parity weights-only mode) and the
+    template is a TrainState, only ``template.params`` is replaced.
+    """
+    with np.load(Path(path)) as z:
+        flat = {k[2:]: z[k] for k in z.files}
+    has_opt = any(k.startswith("opt_state/") for k in flat)
+    params_flat = {k[len("params/") :]: v for k, v in flat.items() if k.startswith("params/")}
+    if hasattr(template, "params"):
+        params = _unflatten_like(template.params, params_flat)
+        if has_opt:
+            opt_flat = {
+                k[len("opt_state/") :]: v for k, v in flat.items() if k.startswith("opt_state/")
+            }
+            opt_state = _unflatten_like(template.opt_state, opt_flat)
+            step = flat.get("step", np.zeros((), np.int32))
+            return template._replace(
+                params=params, opt_state=opt_state, step=np.asarray(step, np.int32)
+            )
+        return template._replace(params=params)
+    return _unflatten_like(template, params_flat)
+
+
+#: reference nn.Module attribute name -> our pytree key (same tensor layouts)
+_TORCH_NAME_MAP = {
+    "combin_encode": "enc_combiner",
+    "loop_encode": "enc_looper",
+    "root_encode": "enc_rooter",
+    "combin_decode": "dec_combiner",
+    "loop_decode": "dec_looper",
+    "root_decode": "dec_rooter",
+}
+_TORCH_GRU_FIELDS = {
+    "weight_ih": "w_ih",
+    "weight_hh": "w_hh",
+    "bias_ih": "b_ih",
+    "bias_hh": "b_hh",
+}
+
+
+def import_torch_state_dict(state_dict, template_params) -> dict:
+    """Convert a reference DXVAE torch state_dict (tensor name -> array) into
+    our parameter pytree.  Accepts either torch tensors or numpy arrays.
+
+    Name scheme on the torch side (model.py:23-72): GRU cells are flat modules
+    (``combin_encode.weight_ih`` ...), Sequential heads index their Linear
+    layers (``h_to_x0.0.weight``, ``h_to_x0.2.weight``, ``h_to_x0.4.weight`` —
+    ReLUs occupy odd slots), ``h_to_std``/``z_to_h``/``gate``/``mapper`` wrap a
+    single Linear at slot 0.
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        sd[k] = v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+
+    out = jax.tree.map(lambda x: x, template_params)  # shallow copy
+
+    def put(dst_key, sub_key, arr):
+        tgt = out[dst_key] if not isinstance(sub_key, tuple) else out[dst_key][sub_key[0]]
+        field = sub_key if not isinstance(sub_key, tuple) else sub_key[1]
+        if np.asarray(tgt[field]).shape != arr.shape:
+            raise ValueError(f"{dst_key}.{sub_key}: shape {arr.shape} != {np.asarray(tgt[field]).shape}")
+        tgt[field] = arr
+
+    for tname, jname in _TORCH_NAME_MAP.items():
+        for tf, jf in _TORCH_GRU_FIELDS.items():
+            put(jname, jf, sd[f"{tname}.{tf}"])
+
+    # single-linear (possibly Sequential-wrapped) heads
+    def seq_linear(prefix, dst, slot=None):
+        pw = f"{prefix}.weight" if slot is None else f"{prefix}.{slot}.weight"
+        pb = f"{prefix}.bias" if slot is None else f"{prefix}.{slot}.bias"
+        out[dst]["w"] = sd[pw]
+        if pb in sd:
+            out[dst]["b"] = sd[pb]
+
+    seq_linear("h_to_mu", "h_to_mu")
+    seq_linear("h_to_std", "h_to_std", 0)
+    seq_linear("z_to_h", "z_to_h", 0)
+    seq_linear("gate", "gate", 0)
+    seq_linear("mapper", "mapper", 0)
+
+    # MLP heads: Linear layers at even Sequential slots
+    for head, n_layers in (("h_to_x0", 3), ("h_to_x", 3), ("h_to_edge_self", 2), ("h_to_edge", 2)):
+        for li in range(n_layers):
+            slot = 2 * li
+            out[head][li]["w"] = sd[f"{head}.{slot}.weight"]
+            out[head][li]["b"] = sd[f"{head}.{slot}.bias"]
+
+    return out
+
+
+def export_torch_state_dict(params) -> dict:
+    """Inverse of :func:`import_torch_state_dict`: our pytree -> a dict of
+    numpy arrays keyed with the reference's state_dict names (loadable into
+    the torch model after tensor conversion)."""
+    sd = {}
+    for tname, jname in _TORCH_NAME_MAP.items():
+        for tf, jf in _TORCH_GRU_FIELDS.items():
+            sd[f"{tname}.{tf}"] = np.asarray(params[jname][jf])
+    sd["h_to_mu.weight"] = np.asarray(params["h_to_mu"]["w"])
+    sd["h_to_mu.bias"] = np.asarray(params["h_to_mu"]["b"])
+    for name in ("h_to_std", "z_to_h", "gate", "mapper"):
+        sd[f"{name}.0.weight"] = np.asarray(params[name]["w"])
+        if "b" in params[name]:
+            sd[f"{name}.0.bias"] = np.asarray(params[name]["b"])
+    for head, n_layers in (("h_to_x0", 3), ("h_to_x", 3), ("h_to_edge_self", 2), ("h_to_edge", 2)):
+        for li in range(n_layers):
+            sd[f"{head}.{2 * li}.weight"] = np.asarray(params[head][li]["w"])
+            sd[f"{head}.{2 * li}.bias"] = np.asarray(params[head][li]["b"])
+    return sd

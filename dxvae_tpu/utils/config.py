@@ -1,0 +1,42 @@
+"""Training/run configuration.
+
+The reference has no config system — knobs are kwargs with defaults
+(model.py:11,374; main.py:12-21) and workflows are chosen by editing commented
+lines in ``__main__`` (main.py:50-76).  Here the same knob set is a dataclass,
+exposed 1:1 by the CLI (dxvae_tpu.cli) while the Python API keeps
+kwargs-level parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    # reference training defaults (model.py:374, main.py:12)
+    epochs: int = 500
+    size_batch: int = 32
+    lr: float = 1e-3
+    w_env: float = 2.0
+    w_frq: float = 5.0
+    w_kld: float = 0.01
+    checkpoint: str = "auto.chk.npz"
+    raw_dir: str = "DX_data"
+    seed: int = 0
+    # reference quirk (model.py:378): `range(epochs + 1)` runs one extra epoch;
+    # kept by default for loss-curve parity, disable with extra_epoch=False
+    extra_epoch: bool = True
+    # checkpoint cadence: reference saves every epoch (model.py:388)
+    save_every_epochs: int = 1
+    # data-parallel mesh size (None = all local devices)
+    n_data: int | None = None
+    metrics_csv: str | None = None
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(s: str) -> "TrainConfig":
+        return TrainConfig(**json.loads(s))

@@ -1,0 +1,224 @@
+"""Model-level tests: parity vs the reference-semantics oracle, invariants.
+
+The oracle (tests/oracle.py) implements the recurrence literally (per-sample
+loops, explicit edge sets, torch numerics); the framework implements it as
+dense masked tensor math under jit.  Agreement on random weights + real data
+validates the dense reformulation end to end (SURVEY.md §4 model tier).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxvae_tpu.models import (
+    DXVAEConfig,
+    LossWeights,
+    decode,
+    elbo_loss,
+    encode,
+    forward,
+    generate,
+    init_params,
+    param_count,
+)
+
+from oracle import TorchOracle
+
+CFG = DXVAEConfig()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def np_params(params):
+    return jax.tree.map(np.asarray, params)
+
+
+@pytest.fixture(scope="module")
+def oracle(np_params):
+    return TorchOracle(np_params)
+
+
+@pytest.fixture(scope="module")
+def real_batch(dataset):
+    b = dataset[:4]
+    return b.X, b.params, b.adj.astype(np.float32)
+
+
+def test_param_count(params):
+    # exact reference model size (BASELINE.md: 12,083,541 at H=512, Z=128)
+    assert param_count(params) == 12_083_541
+
+
+def test_encode_parity(params, oracle, real_batch):
+    X, P, adj = real_batch
+    mu, std, st = jax.jit(lambda p, x, a: encode(p, x, a, CFG))(params, X, adj)
+    mu_o, std_o, hidden_o = oracle.encode(X, adj)
+    np.testing.assert_allclose(np.asarray(mu), mu_o.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std), std_o.numpy(), rtol=1e-3, atol=1e-3)
+    # per-node hidden states agree too
+    h_o = np.stack([np.stack([h.numpy() for h in row]) for row in hidden_o])  # (B,7,H)
+    np.testing.assert_allclose(np.asarray(st.hidden), h_o, rtol=1e-3, atol=1e-3)
+    assert std.min() > 0  # softplus positivity
+
+
+def test_loss_parity(params, oracle, real_batch):
+    X, P, adj = real_batch
+    mu, std, st = encode(params, X, adj, CFG)
+    z = np.asarray(mu)  # eval-mode z (deterministic, comparable)
+    total, aux = jax.jit(
+        lambda p, m, s, x, pp, a: elbo_loss(
+            p, m, s, x, pp, a, training=False, weights=LossWeights(), cfg=CFG
+        )
+    )(params, mu, std, X, P, adj)
+    total_o, aux_o, _ = oracle.loss(z, X, P, adj, mu=np.asarray(mu), std=np.asarray(std))
+    np.testing.assert_allclose(float(total), float(total_o), rtol=2e-3)
+    for a, b in zip(aux, aux_o):
+        np.testing.assert_allclose(float(a), float(b), rtol=2e-3, atol=1e-4)
+
+
+def test_decode_parity(params, oracle):
+    """f32 decode parity vs the oracle.  Thresholded/argmax decisions can
+    legitimately flip when two logits sit within f32 library noise (~1e-4) of
+    each other, so a tiny number of tie-break mismatches is allowed here; the
+    float64 subprocess test below asserts *exact* decode parity."""
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (6, CFG.size_z)))
+    Xj, Pj, Aj = jax.jit(lambda p, zz: decode(p, zz, CFG))(params, jnp.asarray(z))
+    np.testing.assert_array_equal(np.asarray(Aj), oracle_adj := oracle.decode(z)[2])
+    Xo, Po, _ = oracle.decode(z)
+    p_mismatch = int((np.abs(np.asarray(Pj) - Po) > 1e-5).sum())
+    assert p_mismatch <= 2, f"{p_mismatch} param mismatches (expect <=2 tie-break flips)"
+
+
+def test_decode_deterministic(params):
+    z = jax.random.normal(jax.random.PRNGKey(3), (4, CFG.size_z))
+    out1 = decode(params, z, CFG)
+    out2 = decode(params, z, CFG)
+    for a, b in zip(out1, out2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_decode_outputs_valid(params):
+    """Generated params must be canonical DX7 values serializable to a bank."""
+    from dxvae_tpu.data.sysex import pack_voices, unpack_voices
+
+    X, P, adj = generate(params, jax.random.PRNGKey(11), 32, CFG)
+    P = np.asarray(P).astype(np.int32)
+    raw = pack_voices(P)  # raises if out of 7-bit range
+    assert raw.shape == (32, 128)
+    p2, _, _ = unpack_voices(raw)
+    # alg byte round-trips; other params round-trip exactly (canonical grids)
+    np.testing.assert_array_equal(p2[:, 0, 18], P[:, 0, 18])
+    np.testing.assert_array_equal(p2, P)
+
+
+def test_generated_adj_is_windowed(params):
+    """Decode can only materialize edges within the autoregressive window
+    (x <= vi), so the adjacency it reports must have no edges involving
+    never-visited pairs — structurally guaranteed, sanity-checked here."""
+    _, _, adj = generate(params, jax.random.PRNGKey(5), 8, CFG)
+    assert np.asarray(adj).shape == (8, 7, 7)
+    assert set(np.unique(np.asarray(adj))) <= {0.0, 1.0}
+
+
+def test_loss_finite_and_grads_flow(params, real_batch):
+    X, P, adj = real_batch
+
+    def loss_fn(p):
+        total, _ = forward(p, X, P, adj, key=jax.random.PRNGKey(0), training=True)
+        return total
+
+    val, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(val))
+    flat, _ = jax.tree_util.tree_flatten(grads)
+    for g in flat:
+        assert np.isfinite(np.asarray(g)).all()
+    # every parameter receives gradient signal somewhere
+    nonzero = [float(jnp.abs(g).max()) > 0 for g in flat]
+    assert all(nonzero), f"{sum(not z for z in nonzero)} parameter tensors got zero grad"
+
+
+def test_kld_closed_form(params, real_batch):
+    """KL term matches the closed form for KL(N(0,1) || N(mu, std))."""
+    X, P, adj = real_batch
+    mu, std, _ = encode(params, X, adj, CFG)
+    _, (_, _, _, kld_w) = elbo_loss(
+        params, mu, std, X, P, adj, training=False, weights=LossWeights(w_kld=1.0), cfg=CFG
+    )
+    mu_n, std_n = np.asarray(mu, np.float64), np.asarray(std, np.float64)
+    expected = (np.log(std_n) + (1 + mu_n**2) / (2 * std_n**2) - 0.5).mean(0).sum()
+    np.testing.assert_allclose(float(kld_w), expected, rtol=1e-3)  # f32 vs f64 closed form
+
+
+def test_training_rsample_differs_from_eval(params, real_batch):
+    X, P, adj = real_batch
+    t1, _ = forward(p_ := params, X_ := X, P, adj, key=jax.random.PRNGKey(1), training=True)
+    t2, _ = forward(p_, X_, P, adj, training=False)
+    assert float(t1) != float(t2)
+
+
+def test_encode_batch_consistency(params, real_batch):
+    """Encoding a concatenated batch equals encoding samples separately
+    (no cross-sample leakage through the dense masks)."""
+    X, P, adj = real_batch
+    mu_all, std_all, _ = encode(params, X, adj, CFG)
+    mu_one, std_one, _ = encode(params, X[3:4], adj[3:4], CFG)
+    np.testing.assert_allclose(np.asarray(mu_all)[3:4], np.asarray(mu_one), rtol=1e-5, atol=1e-6)
+
+
+def test_exact_parity_float64():
+    """Authoritative parity gate: with x64 enabled, the dense JAX forward is
+    *bitwise-level* identical (diffs ~1e-15, pure reassociation) to the
+    literal-semantics oracle.  Run in a subprocess because jax_enable_x64 is
+    a process-global flag."""
+    import subprocess
+    import sys
+
+    code = """
+import jax
+jax.config.update("jax_enable_x64", True)
+import numpy as np, torch, sys
+sys.path.insert(0, "tests")
+import oracle as om
+om._t = lambda a: torch.from_numpy(np.asarray(a, np.float64).copy())
+torch.set_default_dtype(torch.float64)
+from dxvae_tpu.models import DXVAEConfig, encode, elbo_loss, init_params, LossWeights
+from dxvae_tpu.data.dataset import DXDataset
+from oracle import TorchOracle
+
+cfg = DXVAEConfig()
+params = jax.tree.map(lambda a: np.asarray(a, np.float64),
+                      init_params(jax.random.PRNGKey(0), cfg))
+b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_par_cache")[:2]
+X, P, adj = b.X.astype(np.float64), b.params, b.adj.astype(np.float64)
+mu, std, st = encode(params, X, adj, cfg)
+o = TorchOracle(params)
+mu_o, std_o, _ = o.encode(X, adj)
+assert np.abs(np.asarray(mu) - mu_o.numpy()).max() < 1e-12
+assert np.abs(np.asarray(std) - std_o.numpy()).max() < 1e-12
+total, aux = elbo_loss(params, mu, std, X, P.astype(np.float64), adj,
+                       training=False, weights=LossWeights(), cfg=cfg)
+total_o, aux_o, _ = o.loss(np.asarray(mu), X, P, adj, mu=np.asarray(mu), std=np.asarray(std))
+assert abs(float(total) - float(total_o)) < 1e-10, (float(total), float(total_o))
+
+from dxvae_tpu.models import decode
+z = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (3, cfg.size_z)), np.float64)
+Xj, Pj, Aj = decode(params, z, cfg)
+Xo, Po, Ao = o.decode(z)
+assert np.array_equal(np.asarray(Aj), Ao)
+assert np.abs(np.asarray(Pj) - Po).max() < 1e-9
+assert np.abs(np.asarray(Xj) - Xo).max() < 1e-9
+print("OK")
+"""
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    import os
+
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo", env=env
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-3000:]
