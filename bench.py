@@ -1,0 +1,110 @@
+"""Headline benchmark: encode+decode throughput at batch 1024 (BASELINE.json).
+
+Round trip = encode the 1024-patch dataset -> posterior mean z -> full
+autoregressive decode (nodes, self-loops, all edge decisions, quantizers).
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 50_000 (the driver-set target for 1x TPU v5e).
+
+Timing methodology: the execution platform (axon tunnel) has a large fixed
+host<->device round-trip latency and a block_until_ready that does not
+actually block, so per-call wall timing is useless.  Instead the round trip
+is chained K times inside ONE jitted call with a data-dependent carry
+(decoded X/adj feed the next encode; decoded params fold into a carried
+scalar so no path is dead-code-eliminated), synced by fetching the scalar.
+Per-iteration time = (T(K_hi) - T(K_lo)) / (K_hi - K_lo), which cancels the
+fixed overhead exactly.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--k-lo", type=int, default=2)
+    ap.add_argument("--k-hi", type=int, default=10)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
+
+    cfg = DXVAEConfig(unroll=True)  # fully-unrolled path: fastest on TPU (fusion across steps)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+
+    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
+                   include="synprez")
+    b = ds.batch
+    n = args.batch
+    reps = int(np.ceil(n / len(b.X)))
+    X = np.tile(b.X, (reps, 1, 1))[:n]
+    adj = np.tile(b.adj, (reps, 1, 1))[:n].astype(np.float32)
+
+    if args.dtype == "bfloat16":
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        X = jnp.asarray(X, jnp.bfloat16)
+        adj = jnp.asarray(adj, jnp.bfloat16)
+    else:
+        X, adj = jnp.asarray(X), jnp.asarray(adj)
+
+    def chained(k):
+        @jax.jit
+        def run(params, X, adj):
+            def body(_, carry):
+                x, a, acc = carry
+                mu, _, _ = encode(params, x, a, cfg)
+                xn, pn, an = decode(params, mu, cfg)
+                return (xn, an, acc + pn.sum())
+
+            _, _, acc = jax.lax.fori_loop(0, k, body, (X, adj, jnp.zeros((), X.dtype)))
+            return acc
+
+        return run
+
+    run_lo, run_hi = chained(args.k_lo), chained(args.k_hi)
+
+    def timed(fn):
+        float(fn(params, X, adj))  # warmup/compile
+        ts = []
+        for _ in range(args.repeats):
+            t0 = time.perf_counter()
+            float(fn(params, X, adj))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_lo, t_hi = timed(run_lo), timed(run_hi)
+    per_iter = (t_hi - t_lo) / (args.k_hi - args.k_lo)
+    pps = n / per_iter
+
+    print(
+        json.dumps(
+            {
+                "metric": "patches_per_sec_encode_decode_b1024",
+                "value": round(pps, 1),
+                "unit": "patches/sec",
+                "vs_baseline": round(pps / 50_000.0, 4),
+            }
+        )
+    )
+    print(
+        f"# per-roundtrip {per_iter*1e3:.3f} ms | T({args.k_lo})={t_lo*1e3:.1f} ms "
+        f"T({args.k_hi})={t_hi*1e3:.1f} ms | batch {n} | dtype {args.dtype} | "
+        f"devices {jax.devices()}",
+        file=sys.stderr,
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

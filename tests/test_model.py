@@ -180,6 +180,7 @@ def test_exact_parity_float64():
 
     code = """
 import jax
+jax.config.update("jax_platforms", "cpu")  # escape the pinned axon platform
 jax.config.update("jax_enable_x64", True)
 import numpy as np, torch, sys
 sys.path.insert(0, "tests")
@@ -222,3 +223,25 @@ print("OK")
         [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo", env=env
     )
     assert r.returncode == 0 and "OK" in r.stdout, r.stderr[-3000:]
+
+
+def test_scan_equals_unrolled(params, real_batch):
+    """The scan step-program execution must match the fully-unrolled path:
+    encode to fusion-level noise, loss exactly, decode bitwise."""
+    X, P, adj = real_batch
+    cfg_s = DXVAEConfig(unroll=False)
+    cfg_u = DXVAEConfig(unroll=True)
+    mu_s, std_s, st_s = encode(params, X, adj, cfg_s)
+    mu_u, std_u, st_u = encode(params, X, adj, cfg_u)
+    np.testing.assert_allclose(np.asarray(mu_s), np.asarray(mu_u), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_s.hidden), np.asarray(st_u.hidden), rtol=1e-5, atol=1e-6
+    )
+    ts, _ = elbo_loss(params, mu_s, std_s, X, P, adj, training=False, cfg=cfg_s)
+    tu, _ = elbo_loss(params, mu_s, std_s, X, P, adj, training=False, cfg=cfg_u)
+    np.testing.assert_allclose(float(ts), float(tu), rtol=1e-6)
+    z = jax.random.normal(jax.random.PRNGKey(9), (4, CFG.size_z))
+    out_s = decode(params, z, cfg_s)
+    out_u = decode(params, z, cfg_u)
+    for a, b in zip(out_s, out_u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
