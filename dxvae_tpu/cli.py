@@ -116,6 +116,18 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    if args.cmd in ("decode-test", "generate", "forward-test"):
+        from pathlib import Path as _P
+
+        if not _P(args.checkpoint).exists():
+            import sys as _sys
+
+            print(
+                f"note: checkpoint {args.checkpoint!r} not found; using fresh weights",
+                file=_sys.stderr,
+            )
+            args.checkpoint = None
+
     if args.cmd in ("train-new", "train-on"):
         G = _load_graphs(args)
         fn = train_new if args.cmd == "train-new" else train_on

@@ -22,13 +22,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
-    """Build a (data, model) mesh.  Defaults to all devices on the data axis."""
-    devices = np.asarray(devices if devices is not None else jax.devices())
+    """Build a (data, model) mesh.  Defaults to all devices on the data axis;
+    an explicit smaller n_data uses the first n_data * n_model local devices."""
+    explicit = devices is not None
+    devices = np.asarray(devices if explicit else jax.devices())
     if n_data is None:
         n_data = devices.size // n_model
-    if n_data * n_model != devices.size:
+    need = n_data * n_model
+    if need > devices.size or (explicit and need != devices.size):
         raise ValueError(f"{devices.size} devices cannot form a {n_data}x{n_model} mesh")
-    return Mesh(devices.reshape(n_data, n_model), axis_names=("data", "model"))
+    return Mesh(devices[:need].reshape(n_data, n_model), axis_names=("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

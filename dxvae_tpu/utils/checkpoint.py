@@ -57,7 +57,7 @@ def save_checkpoint(path, state, params_only: bool = False) -> None:
     else:
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
     flat = {f"t/{k}": v for k, v in _flatten(tree).items()}
-    tmp = path.with_name(path.name + ".tmp")
+    tmp = path.with_name(path.name + ".tmp.npz")  # np.savez appends .npz otherwise
     np.savez(tmp, **flat)
     os.replace(tmp, path)
 

@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh (SURVEY.md §4):
+data-parallel and tensor-parallel execution must match single-device results."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dxvae_tpu.models import DXVAEConfig, LossWeights, forward, init_params
+from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from dxvae_tpu.parallel.train import init_train_state, make_optimizer, make_train_step
+
+CFG = DXVAEConfig()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_params(jax.random.PRNGKey(0), CFG)
+
+
+@pytest.fixture(scope="module")
+def batch16(dataset):
+    b = dataset[:16]
+    return (
+        np.asarray(b.X, np.float32),
+        np.asarray(b.params, np.int32),
+        np.asarray(b.adj, np.float32),
+    )
+
+
+def test_eight_devices_available():
+    assert jax.device_count() >= 8  # conftest forces the virtual CPU platform
+
+
+def _forward_loss(params, X, P, adj):
+    total, _ = forward(params, X, P, adj, training=False, cfg=CFG)
+    return total
+
+
+def test_data_parallel_forward_matches_single(params, batch16):
+    X, P, adj = batch16
+    single = float(jax.jit(_forward_loss)(params, X, P, adj))
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sh = batch_sharding(mesh)
+    sharded = float(
+        jax.jit(_forward_loss)(
+            params, jax.device_put(X, sh), jax.device_put(P, sh), jax.device_put(adj, sh)
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+
+
+def test_tensor_parallel_forward_matches_single(params, batch16):
+    X, P, adj = batch16
+    single = float(jax.jit(_forward_loss)(params, X, P, adj))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    p_sh = param_shardings(mesh, params)
+    b_sh = batch_sharding(mesh)
+    p = jax.device_put(params, p_sh)
+    sharded = float(
+        jax.jit(_forward_loss)(
+            p, jax.device_put(X, b_sh), jax.device_put(P, b_sh), jax.device_put(adj, b_sh)
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+
+
+def test_data_parallel_train_step_matches_single(params, batch16):
+    """Gradient all-reduce over the mesh must yield the same update as
+    single-device training (same global batch)."""
+    X, P, adj = batch16
+    opt = make_optimizer(1e-3)
+    key = jax.random.PRNGKey(7)
+
+    state1 = init_train_state(jax.random.PRNGKey(0), opt, CFG, params=params)
+    step1 = make_train_step(opt, CFG, LossWeights(), donate=False)
+    s1, m1 = step1(state1, X, P, adj, key)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    sh = batch_sharding(mesh)
+    state2 = init_train_state(jax.random.PRNGKey(0), opt, CFG, params=params)
+    s2, m2 = step1(
+        state2, jax.device_put(X, sh), jax.device_put(P, sh), jax.device_put(adj, sh), key
+    )
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)  # collective reassociation noise through AdamW rsqrt
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver contract: dryrun_multichip(8) compiles + runs a full sharded
+    train step in-process on the virtual CPU devices."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)  # raises on failure
+
+
+def test_mesh_validation():
+    with pytest.raises(ValueError):
+        make_mesh(n_data=3, n_model=2, devices=jax.devices()[:4])
