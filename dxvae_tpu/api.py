@@ -15,6 +15,7 @@ Where the reference exposed mutable DGLGraphs, this API exchanges
 
 from __future__ import annotations
 
+import time
 from pathlib import Path
 
 import jax
@@ -162,6 +163,7 @@ class DXVAE:
         extra_epoch: bool = True,
         n_data: int | None = None,
         shuffle_seed: int | None = None,
+        save_every: int = 1,
     ):
         """AdamW training loop with reference semantics: shuffle every epoch,
         ``floor(n / size_batch)`` iterations (remainder dropped), per-batch
@@ -187,17 +189,28 @@ class DXVAE:
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
 
         total_epochs = epochs + 1 if extra_epoch else epochs
+        step_base = int(state.step)
         for epoch in range(total_epochs):
             log.epoch(epoch)
             perm = rng.permutation(n_samples)
+            pending = []  # device metrics; synced once per epoch so steps
+            # enqueue asynchronously (host<->device latency is off the path)
+            t0 = time.perf_counter()
             for i in range(n_iters):
                 idx = perm[i * size_batch : (i + 1) * size_batch]
                 bx = jax.device_put(X_all[idx], sharding)
                 bp = jax.device_put(P_all[idx], sharding)
                 ba = jax.device_put(A_all[idx], sharding)
                 state, metrics = step_fn(state, bx, bp, ba, self._next_key())
-                log.batch(i, metrics, step=int(state.step))
-            if checkpoint is not None:
+                pending.append(metrics)
+            epoch_s = time.perf_counter() - t0
+            pps = n_iters * size_batch / epoch_s if epoch_s > 0 else None
+            for i, metrics in enumerate(pending):
+                log.batch(i, metrics, step=step_base + epoch * n_iters + i + 1,
+                          patches_per_sec=pps if i == n_iters - 1 else None)
+            if checkpoint is not None and (
+                (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
+            ):
                 self.params = state.params
                 save_checkpoint(checkpoint, state)
                 log.checkpoint_saved(checkpoint)

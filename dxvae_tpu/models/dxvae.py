@@ -56,6 +56,11 @@ class DXVAEConfig(NamedTuple):
     size_z: int = 128
     strict_parity: bool = True
     unroll: bool = False
+    # "float32" (reference-parity numerics) or "bfloat16" (mixed precision:
+    # the GRU/aggregation/head recurrence runs in bf16 on the MXU, while
+    # master weights, quantizer grids, thresholds, losses, and the posterior
+    # stay float32)
+    compute_dtype: str = "float32"
 
 
 class LossWeights(NamedTuple):
@@ -106,6 +111,20 @@ def _w_pack(params):
     return pack_gate_mapper(params["gate"]["w"], params["mapper"]["w"])
 
 
+def _cdt(cfg: DXVAEConfig):
+    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+
+def _compute_params(params, cfg: DXVAEConfig):
+    """Cast the parameter pytree to the compute dtype (no-op for float32).
+    Master params stay float32; under autodiff the cast transposes to a
+    cast-back, giving float32 gradients — standard mixed-precision training."""
+    dt = _cdt(cfg)
+    if dt == jnp.float32:
+        return params
+    return jax.tree.map(lambda a: a.astype(dt), params)
+
+
 # --------------------------------------------------------------------------- #
 # step program (scan execution strategy)
 # --------------------------------------------------------------------------- #
@@ -151,6 +170,10 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = X.shape[0]
+    full = params
+    params = _compute_params(params, cfg)
+    X = X.astype(_cdt(cfg))
+    adj = adj.astype(_cdt(cfg))
     st = PropState.zeros(b, n, h, X.dtype)
     wp = _w_pack(params)
     gate_b = params["gate"]["b"]
@@ -162,7 +185,7 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
                 # leaf starts from zero H_init (model.py:203-204)
                 h_in = jnp.zeros((b, h), X.dtype)
             else:
-                win = jnp.asarray((node_ids > v).astype(np.float32))
+                win = jnp.asarray((node_ids > v).astype(np.float32)).astype(X.dtype)
                 mf = adj[:, :, v] * win  # predecessors of v in the visited window
                 mb = adj[:, v, :] * win  # successors of v in the visited window
                 h_in = gated_aggregate(st, mf, mb, gate_b)
@@ -193,24 +216,31 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
         vs = jnp.arange(n - 1, 0, -1, dtype=jnp.int32)
         st, _ = jax.lax.scan(body, st, vs)
         # root (v = 0): separate GRU on the first size_x0 feature dims
-        win0 = jnp.asarray((node_ids > 0).astype(np.float32))
+        win0 = jnp.asarray((node_ids > 0).astype(np.float32)).astype(X.dtype)
         h_in = gated_aggregate(st, adj[:, :, 0] * win0, adj[:, 0, :] * win0, gate_b)
         hv = L.gru(params["enc_rooter"], X[:, 0, : cfg.size_x0], h_in)
         st = st.write(0, hv, wp)
 
-    h0 = st.hidden[:, 0]
-    mu = L.linear(params["h_to_mu"], h0)
-    std = jax.nn.softplus(L.linear(params["h_to_std"], h0))
+    # posterior head in float32 regardless of compute dtype (KL / rsample
+    # precision matters)
+    h0 = st.hidden[:, 0].astype(jnp.float32)
+    mu = L.linear(full["h_to_mu"], h0)
+    std = jax.nn.softplus(L.linear(full["h_to_std"], h0))
     return mu, std, st
 
 
 def _decode_propagate(params, st, vi, x_vi, mask_in, mask_back, self_loop, wp):
     """One decode-direction propagate of node ``vi`` (model.py:151-198,
     decode branch): aggregate over window x < vi with the given edge masks,
-    then combiner GRU + self-loop GRU."""
-    h_in = gated_aggregate(st, mask_in, mask_back, params["gate"]["b"])
+    then combiner GRU + self-loop GRU.  Inputs are cast to the state's compute
+    dtype here so callers can keep features/masks in float32."""
+    cdt = st.proj.dtype
+    x_vi = x_vi.astype(cdt)
+    h_in = gated_aggregate(
+        st, mask_in.astype(cdt), mask_back.astype(cdt), params["gate"]["b"]
+    )
     hv = L.gru(params["dec_combiner"], x_vi, h_in)
-    hv = L.gru(params["dec_looper"], x_vi * self_loop[:, None], hv)
+    hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
     return st.write(vi, hv, wp)
 
 
@@ -228,15 +258,17 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = z.shape[0]
-    dt = z.dtype
+    cdt = _cdt(cfg)
+    params = _compute_params(params, cfg)
+    dt = jnp.float32  # generated X/params/adj stay float32 (quantizer grids)
     wp = _w_pack(params)
 
-    st = init_state if init_state is not None else PropState.zeros(b, n, h, dt)
+    st = init_state if init_state is not None else PropState.zeros(b, n, h, cdt)
 
-    h_init = jnp.tanh(L.linear(params["z_to_h"], z))
-    x0_plus = L.mlp(params["h_to_x0"], h_init)
+    h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
+    x0_plus = L.mlp(params["h_to_x0"], h_init).astype(dt)
     x0, p0 = reg_x0(x0_plus, cfg.size_x, cfg.n_params)
-    h0 = L.gru(params["dec_rooter"], x0[:, : cfg.size_x0], h_init)  # H_in given = h_init
+    h0 = L.gru(params["dec_rooter"], x0[:, : cfg.size_x0].astype(cdt), h_init)
     st = st.write(0, h0, wp)
 
     X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
@@ -249,7 +281,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     if cfg.unroll:
         for vi in range(1, n):
             # predict node vi's features from node vi-1's (final) hidden state
-            xi_raw = L.mlp(params["h_to_x"], st.hidden[:, vi - 1])
+            xi_raw = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             X = X.at[:, vi].set(xi)
             P = P.at[:, vi].set(pi)
@@ -258,8 +290,8 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             st = _decode_propagate(params, st, vi, xi, zeros_mask, zeros_mask, no_loop, wp)
 
             # self-loop decision, then re-propagate (model.py:236-240)
-            s = (jax.nn.sigmoid(L.mlp(params["h_to_edge_self"], st.hidden[:, vi]))[:, 0] > 0.5)
-            s = s.astype(dt)
+            s_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)
+            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             adj = adj.at[:, vi, vi].set(s)
             win = jnp.asarray((node_ids < vi).astype(np.float32)).astype(dt)
             st = _decode_propagate(
@@ -271,7 +303,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 e = L.mlp(
                     params["h_to_edge"],
                     jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1),
-                )
+                ).astype(dt)
                 e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
                 e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
                 adj = adj.at[:, vj, vi].set(e_in)
@@ -293,7 +325,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
 
         def node_branch(_):
             h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
-            xi_raw = L.mlp(params["h_to_x"], h_prev)
+            xi_raw = L.mlp(params["h_to_x"], h_prev).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             Xn = jax.lax.dynamic_update_index_in_dim(X, xi, vi, axis=1)
             Pn = jax.lax.dynamic_update_index_in_dim(P, pi, vi, axis=1)
@@ -301,7 +333,8 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
-            s = (jax.nn.sigmoid(L.mlp(params["h_to_edge_self"], h_vi))[:, 0] > 0.5).astype(dt)
+            s_logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)
+            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             onehot_vi = (ids == vi).astype(dt)
             adjn = adj + s[:, None, None] * (onehot_vi[:, None] * onehot_vi[None, :])
             return X, P, adjn, zeros_mask, zeros_mask, s
@@ -309,7 +342,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
             h_vj = jax.lax.dynamic_index_in_dim(st.hidden, vj, axis=1, keepdims=False)
-            e = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1))
+            e = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1)).astype(dt)
             e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
             e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
             oh_i = (ids == vi).astype(dt)
@@ -369,8 +402,11 @@ def elbo_loss(
     """
     n = cfg.n_nodes
     b = X_true.shape[0]
-    dt = X_true.dtype
+    dt = jnp.float32  # losses/targets in float32 regardless of compute dtype
+    cdt = _cdt(cfg)
+    X_true = X_true.astype(dt)
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
+    params = _compute_params(params, cfg)
     wp = _w_pack(params)
 
     if training:
@@ -380,13 +416,13 @@ def elbo_loss(
     else:
         z = mu
 
-    h_init = jnp.tanh(L.linear(params["z_to_h"], z))
-    x0_pred = L.mlp(params["h_to_x0"], h_init)  # (B, 55) raw head output
+    h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
+    x0_pred = L.mlp(params["h_to_x0"], h_init).astype(dt)  # (B, 55) raw head output
 
-    st = init_state if init_state is not None else PropState.zeros(b, n, cfg.size_h, dt)
+    st = init_state if init_state is not None else PropState.zeros(b, n, cfg.size_h, cdt)
     # teacher-force X0_true, compute H0 with given H_in = h_init (model.py:291-297)
     x0_true = X_true[:, 0, :]
-    h0 = L.gru(params["dec_rooter"], x0_true[:, : cfg.size_x0], h_init)
+    h0 = L.gru(params["dec_rooter"], x0_true[:, : cfg.size_x0].astype(cdt), h_init)
     st = st.write(0, h0, wp)
 
     p0_true = params_true[:, 0, :]
@@ -413,7 +449,7 @@ def elbo_loss(
         )
 
     for vi in range(1, n):
-        xi_pred = L.mlp(params["h_to_x"], st.hidden[:, vi - 1])
+        xi_pred = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
 
@@ -433,7 +469,7 @@ def elbo_loss(
         st = _decode_propagate(params, st, vi, xi_true, zeros_mask, zeros_mask, no_loop, wp)
 
         # self-loop: predict from Hi, teacher-force true loop, re-propagate
-        self_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi])  # (B, 1)
+        self_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)  # (B, 1)
         self_true = adj_true[:, vi, vi][:, None]
         loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
 
@@ -446,7 +482,7 @@ def elbo_loss(
             e_logit = L.mlp(
                 params["h_to_edge"],
                 jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1),
-            )  # (B, 2)
+            ).astype(dt)  # (B, 2)
             e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
             loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
             # edges for x in [vj, vi) are now materialized
@@ -475,7 +511,7 @@ def _elbo_loss_scan_tail(
     unrolled path, compiled once)."""
     n = cfg.n_nodes
     b = X_true.shape[0]
-    dt = X_true.dtype
+    dt = X_true.dtype  # float32: elbo_loss normalizes before delegating here
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
     ids = jnp.arange(n)
     zeros_mask = jnp.zeros((b, n), dt)
@@ -496,7 +532,7 @@ def _elbo_loss_scan_tail(
 
         def node_branch(_):
             h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
-            xi_pred = L.mlp(params["h_to_x"], h_prev)
+            xi_pred = L.mlp(params["h_to_x"], h_prev).astype(dt)
             d_lxi = (
                 mse(xi_pred[:, :9] * w_env, xi_true[:, :9] * w_env).mean(0).sum()
                 + mse(xi_pred[:, 9] * w_frq, xi_true[:, 9] * w_frq).mean()
@@ -510,14 +546,14 @@ def _elbo_loss_scan_tail(
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
-            logit = L.mlp(params["h_to_edge_self"], h_vi)  # (B, 1)
+            logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)  # (B, 1)
             d_le = L.bce_with_logits(logit, s_true[:, None]).mean()
             return zero, d_le, zeros_mask, zeros_mask, s_true
 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
             h_vj = jax.lax.dynamic_index_in_dim(st.hidden, vj, axis=1, keepdims=False)
-            e_logit = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1))
+            e_logit = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1)).astype(dt)
             e_true = jnp.stack(
                 [
                     jax.lax.dynamic_index_in_dim(col, vj, axis=1, keepdims=False),

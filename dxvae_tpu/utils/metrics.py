@@ -33,9 +33,13 @@ class MetricsLogger:
                 f"\txi: {m['xi']:.4f}\te: {m['e']:.4f}\tkld: {m['kld']:.4f}"
             )
         if self._csv_path:
-            row = {"step": step, "batch": i, "wall_s": time.perf_counter() - self._t0, **m}
-            if patches_per_sec is not None:
-                row["patches_per_sec"] = patches_per_sec
+            row = {
+                "step": step,
+                "batch": i,
+                "wall_s": time.perf_counter() - self._t0,
+                **m,
+                "patches_per_sec": patches_per_sec if patches_per_sec is not None else "",
+            }
             if self._writer is None:
                 self._csv_path.parent.mkdir(parents=True, exist_ok=True)
                 self._file = open(self._csv_path, "w", newline="")
