@@ -31,7 +31,9 @@ def main() -> int:
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"],
+                    help="compute dtype (mixed precision; grids/thresholds stay f32)")
+    ap.add_argument("--scan", action="store_true", help="use the scan execution path")
     args = ap.parse_args()
 
     import jax
@@ -40,7 +42,7 @@ def main() -> int:
     from dxvae_tpu.data.dataset import DXDataset
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
 
-    cfg = DXVAEConfig(unroll=True)  # fully-unrolled path: fastest on TPU (fusion across steps)
+    cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
 
     ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
@@ -51,12 +53,7 @@ def main() -> int:
     X = np.tile(b.X, (reps, 1, 1))[:n]
     adj = np.tile(b.adj, (reps, 1, 1))[:n].astype(np.float32)
 
-    if args.dtype == "bfloat16":
-        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-        X = jnp.asarray(X, jnp.bfloat16)
-        adj = jnp.asarray(adj, jnp.bfloat16)
-    else:
-        X, adj = jnp.asarray(X), jnp.asarray(adj)
+    X, adj = jnp.asarray(X), jnp.asarray(adj.astype(np.float32))
 
     def chained(k):
         @jax.jit

@@ -35,7 +35,12 @@ import numpy as np
 
 from dxvae_tpu.models import layers as L
 from dxvae_tpu.models.quantize import reg_x0, reg_xi
-from dxvae_tpu.ops.propagate import PropState, gated_aggregate, pack_gate_mapper
+from dxvae_tpu.ops.propagate import (
+    PropState,
+    gated_aggregate,
+    pack_gate_mapper,
+    slot_contribution,
+)
 
 
 class DXVAEConfig(NamedTuple):
@@ -111,18 +116,25 @@ def _w_pack(params):
     return pack_gate_mapper(params["gate"]["w"], params["mapper"]["w"])
 
 
-def _cdt(cfg: DXVAEConfig):
-    return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+def _dtypes(cfg: DXVAEConfig, ref_dtype):
+    """(compute dtype, output/loss dtype) for this run.
+
+    float32 mode preserves the caller's dtype (so float64 parity runs stay
+    float64 end to end); bfloat16 mode computes the recurrence in bf16 and
+    keeps outputs/losses in float32.
+    """
+    if cfg.compute_dtype == "bfloat16":
+        return jnp.bfloat16, jnp.float32
+    return ref_dtype, ref_dtype
 
 
 def _compute_params(params, cfg: DXVAEConfig):
-    """Cast the parameter pytree to the compute dtype (no-op for float32).
-    Master params stay float32; under autodiff the cast transposes to a
-    cast-back, giving float32 gradients — standard mixed-precision training."""
-    dt = _cdt(cfg)
-    if dt == jnp.float32:
+    """Cast the parameter pytree to the compute dtype (no-op unless bf16).
+    Master params keep their dtype; under autodiff the cast transposes to a
+    cast-back, giving full-precision gradients — standard mixed precision."""
+    if cfg.compute_dtype != "bfloat16":
         return params
-    return jax.tree.map(lambda a: a.astype(dt), params)
+    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
 
 # --------------------------------------------------------------------------- #
@@ -170,10 +182,11 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = X.shape[0]
+    cdt, odt = _dtypes(cfg, X.dtype)
     full = params
     params = _compute_params(params, cfg)
-    X = X.astype(_cdt(cfg))
-    adj = adj.astype(_cdt(cfg))
+    X = X.astype(cdt)
+    adj = adj.astype(cdt)
     st = PropState.zeros(b, n, h, X.dtype)
     wp = _w_pack(params)
     gate_b = params["gate"]["b"]
@@ -221,25 +234,25 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
         hv = L.gru(params["enc_rooter"], X[:, 0, : cfg.size_x0], h_in)
         st = st.write(0, hv, wp)
 
-    # posterior head in float32 regardless of compute dtype (KL / rsample
-    # precision matters)
-    h0 = st.hidden[:, 0].astype(jnp.float32)
+    # posterior head in full precision regardless of compute dtype (KL /
+    # rsample precision matters)
+    h0 = st.hidden[:, 0].astype(odt)
     mu = L.linear(full["h_to_mu"], h0)
     std = jax.nn.softplus(L.linear(full["h_to_std"], h0))
     return mu, std, st
 
 
-def _decode_propagate(params, st, vi, x_vi, mask_in, mask_back, self_loop, wp):
+def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp):
     """One decode-direction propagate of node ``vi`` (model.py:151-198,
-    decode branch): aggregate over window x < vi with the given edge masks,
-    then combiner GRU + self-loop GRU.  Inputs are cast to the state's compute
-    dtype here so callers can keep features/masks in float32."""
+    decode branch) given its aggregated message H_in: combiner GRU + self-loop
+    GRU.  H_in arrives as a *running sum* of slot contributions — during node
+    vi's refresh cadence the window masks change one slot per step (NODE/SELF
+    steps have no incident window edges), so callers accumulate
+    :func:`slot_contribution` terms instead of re-aggregating all 7 slots.
+    Inputs are cast to the state's compute dtype here."""
     cdt = st.proj.dtype
     x_vi = x_vi.astype(cdt)
-    h_in = gated_aggregate(
-        st, mask_in.astype(cdt), mask_back.astype(cdt), params["gate"]["b"]
-    )
-    hv = L.gru(params["dec_combiner"], x_vi, h_in)
+    hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
     hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
     return st.write(vi, hv, wp)
 
@@ -258,9 +271,8 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = z.shape[0]
-    cdt = _cdt(cfg)
+    cdt, dt = _dtypes(cfg, z.dtype)  # generated X/params/adj in full precision
     params = _compute_params(params, cfg)
-    dt = jnp.float32  # generated X/params/adj stay float32 (quantizer grids)
     wp = _w_pack(params)
 
     st = init_state if init_state is not None else PropState.zeros(b, n, h, cdt)
@@ -274,8 +286,9 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
     P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
     adj = jnp.zeros((b, n, n), dt)
-    zeros_mask = jnp.zeros((b, n), dt)
+    zero_hin = jnp.zeros((b, h), cdt)
     no_loop = jnp.zeros((b,), dt)
+    gate_b = params["gate"]["b"]
     node_ids = np.arange(n)
 
     if cfg.unroll:
@@ -286,19 +299,19 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             X = X.at[:, vi].set(xi)
             P = P.at[:, vi].set(pi)
 
-            # propagate with no incident edges yet
-            st = _decode_propagate(params, st, vi, xi, zeros_mask, zeros_mask, no_loop, wp)
+            # propagate with no incident edges yet (H_in = 0)
+            st = _decode_propagate(params, st, vi, xi, zero_hin, no_loop, wp)
 
-            # self-loop decision, then re-propagate (model.py:236-240)
+            # self-loop decision, then re-propagate (model.py:236-240);
+            # window edges still absent, so H_in stays 0
             s_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             adj = adj.at[:, vi, vi].set(s)
-            win = jnp.asarray((node_ids < vi).astype(np.float32)).astype(dt)
-            st = _decode_propagate(
-                params, st, vi, xi, adj[:, :, vi] * win, adj[:, vi, :] * win, s, wp
-            )
+            st = _decode_propagate(params, st, vi, xi, zero_hin, s, wp)
 
-            # in/out edge decisions vs vj = vi-1 .. 0, re-propagating after each
+            # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
+            # exactly one window slot, so H_in accumulates incrementally
+            h_acc = zero_hin
             for vj in range(vi - 1, -1, -1):
                 e = L.mlp(
                     params["h_to_edge"],
@@ -308,9 +321,10 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
                 adj = adj.at[:, vj, vi].set(e_in)
                 adj = adj.at[:, vi, vj].set(e_out)
-                st = _decode_propagate(
-                    params, st, vi, xi, adj[:, :, vi] * win, adj[:, vi, :] * win, s, wp
+                h_acc = h_acc + slot_contribution(
+                    st.proj[:, vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
+                st = _decode_propagate(params, st, vi, xi, h_acc, s, wp)
         return X, P, adj
 
     # scan execution: one body (switch over NODE/SELF/EDGE) over the 33-step
@@ -319,9 +333,8 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
     def body(carry, step):
-        st, X, P, adj = carry
+        st, X, P, adj, h_acc = carry
         t, vi, vj = step
-        win = (ids < vi).astype(dt)
 
         def node_branch(_):
             h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
@@ -329,7 +342,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             Xn = jax.lax.dynamic_update_index_in_dim(X, xi, vi, axis=1)
             Pn = jax.lax.dynamic_update_index_in_dim(P, pi, vi, axis=1)
-            return Xn, Pn, adj, zeros_mask, zeros_mask, no_loop
+            return Xn, Pn, adj, zero_hin, no_loop  # reset the running H_in sum
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
@@ -337,7 +350,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             onehot_vi = (ids == vi).astype(dt)
             adjn = adj + s[:, None, None] * (onehot_vi[:, None] * onehot_vi[None, :])
-            return X, P, adjn, zeros_mask, zeros_mask, s
+            return X, P, adjn, zero_hin, s  # window edges still absent
 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
@@ -349,17 +362,22 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             oh_j = (ids == vj).astype(dt)
             adjn = adj + e_in[:, None, None] * (oh_j[:, None] * oh_i[None, :]) \
                        + e_out[:, None, None] * (oh_i[:, None] * oh_j[None, :])
-            col = jax.lax.dynamic_index_in_dim(adjn, vi, axis=2, keepdims=False)
             row = jax.lax.dynamic_index_in_dim(adjn, vi, axis=1, keepdims=False)
             s = jax.lax.dynamic_index_in_dim(row, vi, axis=1, keepdims=False)
-            return X, P, adjn, col * win, row * win, s
+            proj_vj = jax.lax.dynamic_index_in_dim(st.proj, vj, axis=1, keepdims=False)
+            h_new = h_acc + slot_contribution(
+                proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+            )
+            return X, P, adjn, h_new, s
 
-        X, P, adj, m_in, m_back, s = jax.lax.switch(t, [node_branch, self_branch, edge_branch], None)
+        X, P, adj, h_acc, s = jax.lax.switch(t, [node_branch, self_branch, edge_branch], None)
         xv = jax.lax.dynamic_index_in_dim(X, vi, axis=1, keepdims=False)
-        st = _decode_propagate(params, st, vi, xv, m_in, m_back, s, wp)
-        return (st, X, P, adj), None
+        st = _decode_propagate(params, st, vi, xv, h_acc, s, wp)
+        return (st, X, P, adj, h_acc), None
 
-    (st, X, P, adj), _ = jax.lax.scan(body, (st, X, P, adj), (t_arr, vi_arr, vj_arr))
+    (st, X, P, adj, _), _ = jax.lax.scan(
+        body, (st, X, P, adj, zero_hin), (t_arr, vi_arr, vj_arr)
+    )
     return X, P, adj
 
 
@@ -402,8 +420,7 @@ def elbo_loss(
     """
     n = cfg.n_nodes
     b = X_true.shape[0]
-    dt = jnp.float32  # losses/targets in float32 regardless of compute dtype
-    cdt = _cdt(cfg)
+    cdt, dt = _dtypes(cfg, X_true.dtype)  # losses/targets in full precision
     X_true = X_true.astype(dt)
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
     params = _compute_params(params, cfg)
@@ -463,21 +480,24 @@ def elbo_loss(
             + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
         )
 
-        # teacher-force node vi, propagate with no incident edges
-        zeros_mask = jnp.zeros((b, n), dt)
+        # teacher-force node vi, propagate with no incident edges (H_in = 0)
         no_loop = jnp.zeros((b,), dt)
-        st = _decode_propagate(params, st, vi, xi_true, zeros_mask, zeros_mask, no_loop, wp)
+        zero_hin = jnp.zeros((b, cfg.size_h), cdt)
+        st = _decode_propagate(params, st, vi, xi_true, zero_hin, no_loop, wp)
 
         # self-loop: predict from Hi, teacher-force true loop, re-propagate
+        # (window edges still absent, H_in stays 0)
         self_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)  # (B, 1)
         self_true = adj_true[:, vi, vi][:, None]
         loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
 
-        win = jnp.asarray((node_ids < vi).astype(np.float32)).astype(dt)
         s_true = adj_true[:, vi, vi]
-        st = _decode_propagate(params, st, vi, xi_true, zeros_mask, zeros_mask, s_true, wp)
+        st = _decode_propagate(params, st, vi, xi_true, zero_hin, s_true, wp)
 
-        # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate
+        # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate;
+        # each teacher-forced pair enables one window slot -> H_in accumulates
+        h_acc = zero_hin
+        gate_b = params["gate"]["b"]
         for vj in range(vi - 1, -1, -1):
             e_logit = L.mlp(
                 params["h_to_edge"],
@@ -485,12 +505,13 @@ def elbo_loss(
             ).astype(dt)  # (B, 2)
             e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
             loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
-            # edges for x in [vj, vi) are now materialized
-            staged = jnp.asarray((node_ids >= vj).astype(np.float32)).astype(dt) * win
-            st = _decode_propagate(
-                params, st, vi, xi_true,
-                adj_true[:, :, vi] * staged, adj_true[:, vi, :] * staged, s_true, wp,
+            h_acc = h_acc + slot_contribution(
+                st.proj[:, vj],
+                adj_true[:, vj, vi].astype(cdt),
+                adj_true[:, vi, vj].astype(cdt),
+                gate_b,
             )
+            st = _decode_propagate(params, st, vi, xi_true, h_acc, s_true, wp)
 
     # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
     kld_w = _kld(mu, std) * w_kld
@@ -512,18 +533,18 @@ def _elbo_loss_scan_tail(
     n = cfg.n_nodes
     b = X_true.shape[0]
     dt = X_true.dtype  # float32: elbo_loss normalizes before delegating here
+    cdt = st.proj.dtype
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
-    ids = jnp.arange(n)
-    zeros_mask = jnp.zeros((b, n), dt)
     no_loop = jnp.zeros((b,), dt)
+    zero_hin = jnp.zeros((b, cfg.size_h), cdt)
     zero = jnp.zeros((), dt)
+    gate_b = params["gate"]["b"]
     mse = lambda a, t: (a - t) ** 2
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
     def body(carry, step):
-        st, lxi, le = carry
+        st, lxi, le, h_acc = carry
         t, vi, vj = step
-        win = (ids < vi).astype(dt)
         xi_true = jax.lax.dynamic_index_in_dim(X_true, vi, axis=1, keepdims=False)
         pi_true = jax.lax.dynamic_index_in_dim(params_true, vi, axis=1, keepdims=False)
         col = jax.lax.dynamic_index_in_dim(adj_true, vi, axis=2, keepdims=False)  # x -> vi
@@ -542,13 +563,13 @@ def _elbo_loss_scan_tail(
                 + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
             )
             # propagate with no incident edges and no self-loop yet
-            return d_lxi, zero, zeros_mask, zeros_mask, no_loop
+            return d_lxi, zero, zero_hin, no_loop
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
             logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)  # (B, 1)
             d_le = L.bce_with_logits(logit, s_true[:, None]).mean()
-            return zero, d_le, zeros_mask, zeros_mask, s_true
+            return zero, d_le, zero_hin, s_true  # window edges still absent
 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
@@ -562,17 +583,20 @@ def _elbo_loss_scan_tail(
                 axis=-1,
             )
             d_le = L.bce_with_logits(e_logit, e_true).mean(0).sum()
-            staged = (ids >= vj).astype(dt) * win  # edges for x in [vj, vi) materialized
-            return zero, d_le, col * staged, row * staged, s_true
+            proj_vj = jax.lax.dynamic_index_in_dim(st.proj, vj, axis=1, keepdims=False)
+            h_new = h_acc + slot_contribution(
+                proj_vj, e_true[:, 0].astype(cdt), e_true[:, 1].astype(cdt), gate_b
+            )
+            return zero, d_le, h_new, s_true
 
-        d_lxi, d_le, m_in, m_back, s = jax.lax.switch(
+        d_lxi, d_le, h_new, s = jax.lax.switch(
             t, [node_branch, self_branch, edge_branch], None
         )
-        st = _decode_propagate(params, st, vi, xi_true, m_in, m_back, s, wp)
-        return (st, lxi + d_lxi, le + d_le), None
+        st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp)
+        return (st, lxi + d_lxi, le + d_le, h_new), None
 
-    (st, loss_xi, loss_e), _ = jax.lax.scan(
-        body, (st, jnp.zeros((), dt), jnp.zeros((), dt)), (t_arr, vi_arr, vj_arr)
+    (st, loss_xi, loss_e, _), _ = jax.lax.scan(
+        body, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin), (t_arr, vi_arr, vj_arr)
     )
     kld_w = _kld(mu, std) * w_kld
     total = loss_x0 + loss_xi + loss_e + kld_w

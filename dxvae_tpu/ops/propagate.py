@@ -76,6 +76,29 @@ def pack_gate_mapper(gate_w: jnp.ndarray, mapper_w: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def slot_contribution(
+    proj_x: jnp.ndarray, e_forth: jnp.ndarray, e_back: jnp.ndarray, gate_b: jnp.ndarray
+) -> jnp.ndarray:
+    """Gated-sum contribution of a single window slot x.
+
+    ``proj_x (B, 4, H)``: slot x's cached projections; ``e_forth``/``e_back``
+    ``(B,)``: the x->target / target->x edge indicators.  Zero indicators give
+    exactly zero (bias-free mapper), so adding contributions unconditionally
+    is safe.
+
+    This enables the decoder's *incremental aggregation*: during node vi's
+    refresh cadence, the edge masks change one slot per step (NODE and SELF
+    steps see no incident window edges at all, model.py:226-251), so H_in is a
+    running sum of slot contributions — O(1) slots touched per propagate
+    instead of re-reading all 7 slots' projections.
+    """
+    mf = e_forth[:, None]
+    mb = e_back[:, None]
+    g = jax.nn.sigmoid(mf * proj_x[:, 0, :] + mb * proj_x[:, 1, :] + gate_b)
+    m = mf * proj_x[:, 2, :] + mb * proj_x[:, 3, :]
+    return g * m
+
+
 def gated_aggregate(
     state: PropState, mask_forth: jnp.ndarray, mask_back: jnp.ndarray, gate_b: jnp.ndarray
 ) -> jnp.ndarray:
