@@ -1,0 +1,54 @@
+"""Native (C++) codec parity vs the NumPy codec — bit-exact contract."""
+
+import numpy as np
+import pytest
+
+from dxvae_tpu.data import sysex
+from dxvae_tpu.data import native
+
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+def test_native_unpack_matches_numpy(bank_files):
+    raw = np.concatenate([sysex.read_syx(f) for f in bank_files])
+    p_np, x_np, a_np = sysex.unpack_voices(raw)
+    p_c, x_c, a_c = native.unpack_voices(raw)
+    np.testing.assert_array_equal(p_c, p_np)
+    np.testing.assert_array_equal(a_c, a_np)
+    # float features: same formulas in float32; allow 1-ulp libm drift on logs
+    np.testing.assert_allclose(x_c, x_np, rtol=0, atol=2e-7)
+
+
+def test_native_pack_matches_numpy(bank_files):
+    raw = sysex.read_syx(bank_files[0])
+    p, _, _ = sysex.unpack_voices(raw)
+    np.testing.assert_array_equal(native.pack_voices(p), sysex.pack_voices(p))
+
+
+def test_native_pack_range_check():
+    bad = np.zeros((1, 7, 21), np.int32)
+    bad[0, 1, 0] = 200  # lev out of 7-bit range
+    with pytest.raises(ValueError):
+        native.pack_voices(bad)
+
+
+def test_native_checksum(bank_files):
+    raw = sysex.read_syx(bank_files[0])
+    payload = sysex.pack_voices(sysex.unpack_voices(raw)[0]).ravel()
+    assert native.dx7_checksum(payload) == sysex.dx7_checksum(payload)
+
+
+def test_native_roundtrip_speed(bank_files):
+    """The native codec must beat NumPy on bulk decode (sanity, not a bench)."""
+    import time
+
+    raw = np.concatenate([sysex.read_syx(f) for f in bank_files])
+    raw = np.tile(raw, (8, 1))  # ~8.4k voices
+    t0 = time.perf_counter()
+    native.unpack_voices(raw)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    sysex.unpack_voices(raw)
+    t_numpy = time.perf_counter() - t0
+    assert t_native < t_numpy * 2.0, (t_native, t_numpy)  # no regression; usually much faster
