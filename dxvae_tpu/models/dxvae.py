@@ -61,6 +61,10 @@ class DXVAEConfig(NamedTuple):
     size_z: int = 128
     strict_parity: bool = True
     unroll: bool = False
+    # run the decode propagate step (combiner GRU + looper GRU + projection
+    # update) as a fused Pallas TPU kernel; training still works (custom VJP
+    # rematerializes through a jnp-identical backward)
+    use_pallas: bool = False
     # "float32" (reference-parity numerics) or "bfloat16" (mixed precision:
     # the GRU/aggregation/head recurrence runs in bf16 on the MXU, while
     # master weights, quantizer grids, thresholds, losses, and the posterior
@@ -242,15 +246,26 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     return mu, std, st
 
 
-def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp):
+def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp, pw=None):
     """One decode-direction propagate of node ``vi`` (model.py:151-198,
     decode branch) given its aggregated message H_in: combiner GRU + self-loop
     GRU.  H_in arrives as a *running sum* of slot contributions — during node
     vi's refresh cadence the window masks change one slot per step (NODE/SELF
     steps have no incident window edges), so callers accumulate
     :func:`slot_contribution` terms instead of re-aggregating all 7 slots.
-    Inputs are cast to the state's compute dtype here."""
+    Inputs are cast to the state's compute dtype here.
+
+    ``pw`` (packed kernel weights) selects the fused Pallas execution of the
+    whole step (cfg.use_pallas)."""
     cdt = st.proj.dtype
+    if pw is not None:
+        from dxvae_tpu.ops.fused_propagate import propagate_step
+
+        hv, proj = propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)
+        return PropState(
+            hidden=st.hidden.at[:, vi, :].set(hv),
+            proj=st.proj.at[:, vi, :, :].set(proj),
+        )
     x_vi = x_vi.astype(cdt)
     hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
     hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
@@ -274,6 +289,11 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     cdt, dt = _dtypes(cfg, z.dtype)  # generated X/params/adj in full precision
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
+    pw = None
+    if cfg.use_pallas:
+        from dxvae_tpu.ops.fused_propagate import pack_propagate_weights
+
+        pw = pack_propagate_weights(params, cdt)
 
     st = init_state if init_state is not None else PropState.zeros(b, n, h, cdt)
 
@@ -300,14 +320,14 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             P = P.at[:, vi].set(pi)
 
             # propagate with no incident edges yet (H_in = 0)
-            st = _decode_propagate(params, st, vi, xi, zero_hin, no_loop, wp)
+            st = _decode_propagate(params, st, vi, xi, zero_hin, no_loop, wp, pw)
 
             # self-loop decision, then re-propagate (model.py:236-240);
             # window edges still absent, so H_in stays 0
             s_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             adj = adj.at[:, vi, vi].set(s)
-            st = _decode_propagate(params, st, vi, xi, zero_hin, s, wp)
+            st = _decode_propagate(params, st, vi, xi, zero_hin, s, wp, pw)
 
             # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
             # exactly one window slot, so H_in accumulates incrementally
@@ -324,7 +344,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 h_acc = h_acc + slot_contribution(
                     st.proj[:, vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                st = _decode_propagate(params, st, vi, xi, h_acc, s, wp)
+                st = _decode_propagate(params, st, vi, xi, h_acc, s, wp, pw)
         return X, P, adj
 
     # scan execution: one body (switch over NODE/SELF/EDGE) over the 33-step
@@ -372,7 +392,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
 
         X, P, adj, h_acc, s = jax.lax.switch(t, [node_branch, self_branch, edge_branch], None)
         xv = jax.lax.dynamic_index_in_dim(X, vi, axis=1, keepdims=False)
-        st = _decode_propagate(params, st, vi, xv, h_acc, s, wp)
+        st = _decode_propagate(params, st, vi, xv, h_acc, s, wp, pw)
         return (st, X, P, adj, h_acc), None
 
     (st, X, P, adj, _), _ = jax.lax.scan(
@@ -425,6 +445,11 @@ def elbo_loss(
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
+    pw = None
+    if cfg.use_pallas:
+        from dxvae_tpu.ops.fused_propagate import pack_propagate_weights
+
+        pw = pack_propagate_weights(params, cdt)
 
     if training:
         if key is None:
@@ -461,7 +486,7 @@ def elbo_loss(
 
     if not cfg.unroll:
         return _elbo_loss_scan_tail(
-            params, st, wp, x0_pred, loss_x0, X_true, params_true, adj_true,
+            params, st, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true,
             mu, std, weights, cfg,
         )
 
@@ -483,7 +508,7 @@ def elbo_loss(
         # teacher-force node vi, propagate with no incident edges (H_in = 0)
         no_loop = jnp.zeros((b,), dt)
         zero_hin = jnp.zeros((b, cfg.size_h), cdt)
-        st = _decode_propagate(params, st, vi, xi_true, zero_hin, no_loop, wp)
+        st = _decode_propagate(params, st, vi, xi_true, zero_hin, no_loop, wp, pw)
 
         # self-loop: predict from Hi, teacher-force true loop, re-propagate
         # (window edges still absent, H_in stays 0)
@@ -492,7 +517,7 @@ def elbo_loss(
         loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
 
         s_true = adj_true[:, vi, vi]
-        st = _decode_propagate(params, st, vi, xi_true, zero_hin, s_true, wp)
+        st = _decode_propagate(params, st, vi, xi_true, zero_hin, s_true, wp, pw)
 
         # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate;
         # each teacher-forced pair enables one window slot -> H_in accumulates
@@ -511,7 +536,7 @@ def elbo_loss(
                 adj_true[:, vi, vj].astype(cdt),
                 gate_b,
             )
-            st = _decode_propagate(params, st, vi, xi_true, h_acc, s_true, wp)
+            st = _decode_propagate(params, st, vi, xi_true, h_acc, s_true, wp, pw)
 
     # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
     kld_w = _kld(mu, std) * w_kld
@@ -525,7 +550,7 @@ def _kld(mu, std):
 
 
 def _elbo_loss_scan_tail(
-    params, st, wp, x0_pred, loss_x0, X_true, params_true, adj_true, mu, std, weights, cfg
+    params, st, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true, mu, std, weights, cfg
 ):
     """Scan-execution tail of the teacher-forced loss: the per-node cadence as
     one lax.scan over the static NODE/SELF/EDGE step program (same math as the
@@ -592,7 +617,7 @@ def _elbo_loss_scan_tail(
         d_lxi, d_le, h_new, s = jax.lax.switch(
             t, [node_branch, self_branch, edge_branch], None
         )
-        st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp)
+        st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp, pw)
         return (st, lxi + d_lxi, le + d_le, h_new), None
 
     (st, loss_xi, loss_e, _), _ = jax.lax.scan(
