@@ -118,3 +118,20 @@ def test_cli_workflows(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "#0 Params:" in r.stdout and "#0 Edges:" in r.stdout
+
+
+def test_trained_checkpoint_quality(dataset):
+    """The shipped trained checkpoint (reference recipe, 50 epochs) must beat
+    chance by a wide margin on training-set reconstruction."""
+    import os
+
+    ck = "/root/repo/checkpoints/dx_1024.npz"
+    if not os.path.exists(ck):
+        pytest.skip("trained checkpoint not present")
+    model = DXVAE(checkpoint=ck)
+    G = dataset[:128]
+    R = model.encode_decode(G)
+    alg_acc = float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
+    edge_acc = float((G.adj == R.adj).mean())
+    assert alg_acc > 0.8, alg_acc    # measured 0.98 at save time
+    assert edge_acc > 0.8, edge_acc  # measured 0.89 at save time
