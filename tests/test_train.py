@@ -132,3 +132,68 @@ def test_torch_state_dict_roundtrip():
     back = import_torch_state_dict(sd, params)
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_import_from_real_torch_module():
+    """Build real torch modules with the reference's attribute names
+    (model.py:23-72 ctor surface), export their state_dict, import into our
+    pytree, and check the converted weights drive an identical forward (via
+    the torch oracle, which consumes our pytree directly)."""
+    import sys
+
+    import torch
+    import torch.nn as nn
+
+    sys.path.insert(0, "/root/repo/tests")
+    from oracle import TorchOracle
+    from dxvae_tpu.models import encode, init_params
+    from dxvae_tpu.utils.checkpoint import import_torch_state_dict
+
+    H, Z, X, X0 = 512, 128, 27, 23
+
+    class RefShape(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.combin_encode = nn.GRUCell(X, H)
+            self.loop_encode = nn.GRUCell(X, H)
+            self.root_encode = nn.GRUCell(X0, H)
+            self.h_to_mu = nn.Linear(H, Z)
+            self.h_to_std = nn.Sequential(nn.Linear(H, Z), nn.Softplus())
+            self.combin_decode = nn.GRUCell(X, H)
+            self.loop_decode = nn.GRUCell(X, H)
+            self.root_decode = nn.GRUCell(X0, H)
+            self.z_to_h = nn.Sequential(nn.Linear(Z, H), nn.Tanh())
+            self.h_to_x0 = nn.Sequential(
+                nn.Linear(H, 2 * H), nn.ReLU(), nn.Linear(2 * H, 2 * H), nn.ReLU(),
+                nn.Linear(2 * H, X0 + 32),
+            )
+            self.h_to_x = nn.Sequential(
+                nn.Linear(H, 2 * H), nn.ReLU(), nn.Linear(2 * H, 2 * H), nn.ReLU(),
+                nn.Linear(2 * H, X),
+            )
+            self.h_to_edge_self = nn.Sequential(nn.Linear(H, 2 * H), nn.ReLU(), nn.Linear(2 * H, 1))
+            self.h_to_edge = nn.Sequential(nn.Linear(2 * H, 4 * H), nn.ReLU(), nn.Linear(4 * H, 2))
+            self.gate = nn.Sequential(nn.Linear(2 * H, H), nn.Sigmoid())
+            self.mapper = nn.Sequential(nn.Linear(2 * H, H, bias=False))
+
+    torch.manual_seed(0)
+    tm = RefShape()
+    template = jax.tree.map(np.asarray, init_params(jax.random.PRNGKey(0), CFG))
+    imported = import_torch_state_dict(tm.state_dict(), template)
+
+    # encode a real-ish batch with the imported weights: our dense encoder vs
+    # the literal-semantics oracle fed the same converted pytree
+    rng = np.random.default_rng(0)
+    Xb = rng.uniform(0, 1, (3, 7, 27)).astype(np.float32)
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    adj = ALGO_ADJ[rng.integers(0, 32, 3)].astype(np.float32)
+    mu, std, _ = encode(imported, Xb, adj, CFG)
+    mu_o, std_o, _ = TorchOracle(imported).encode(Xb, adj)
+    np.testing.assert_allclose(np.asarray(mu), mu_o.numpy(), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std), std_o.numpy(), rtol=1e-3, atol=1e-3)
+    # and the torch module's own Linear agrees with our converted apply
+    h = rng.normal(size=(3, H)).astype(np.float32)
+    ours = h @ imported["h_to_mu"]["w"].T + imported["h_to_mu"]["b"]
+    theirs = tm.h_to_mu(torch.from_numpy(h)).detach().numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
