@@ -39,6 +39,29 @@ from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint,
 from dxvae_tpu.utils.metrics import MetricsLogger
 
 
+from typing import NamedTuple
+
+
+class Normal(NamedTuple):
+    """Minimal torch.distributions.Normal stand-in returned by ``encode``.
+
+    Unpacks as ``(mu, std)`` and exposes ``.loc`` / ``.scale`` / ``.sample`` /
+    ``.rsample`` so reference-style code keeps working (model.py:209-212,
+    255-260)."""
+
+    loc: jnp.ndarray
+    scale: jnp.ndarray
+
+    def sample(self, key):
+        return self.loc + self.scale * jax.random.normal(key, self.loc.shape, self.loc.dtype)
+
+    rsample = sample
+
+    @property
+    def mean(self):
+        return self.loc
+
+
 class DXVAE:
     """Drop-in style wrapper matching the reference DXVAE surface (model.py:11)."""
 
@@ -66,12 +89,24 @@ class DXVAE:
         self._key = jax.random.PRNGKey(seed)
         self.params = init_params(self._next_key(), self.cfg)
         self.training = True  # reference parity: .eval() never called (model.py:374-391)
+        self.device = jax.devices()[0].platform  # informational
         if checkpoint is not None:
             self.load(checkpoint)
 
         cfg = self.cfg
         self._encode_jit = jax.jit(lambda p, X, adj: _encode(p, X, adj, cfg)[:2])
         self._decode_jit = jax.jit(lambda p, z: _decode(p, z, cfg))
+
+    def to(self, device=None):
+        """No-op for reference drop-in compatibility (main.py:14) — JAX arrays
+        are placed by shardings, not module moves."""
+        return self
+
+    def eval(self):
+        """Reference quirk parity: the reference never leaves training mode
+        (its .train() is shadowed); provided for torch-style call sites."""
+        self.training = False
+        return self
 
     # -- internals -----------------------------------------------------------
     def _next_key(self):
@@ -103,10 +138,12 @@ class DXVAE:
         save_checkpoint(checkpoint, self.params, params_only=True)
 
     # -- reference API (model.py:200-268) -------------------------------------
-    def encode(self, G: GraphBatch):
-        """Graphs -> posterior (mu, std), each (B, size_Z) (model.py:200-212)."""
+    def encode(self, G: GraphBatch) -> Normal:
+        """Graphs -> posterior Normal (unpacks as (mu, std), each (B, size_Z))
+        (model.py:200-212)."""
         X, _, adj = self._as_arrays(G)
-        return self._encode_jit(self.params, X, adj)
+        mu, std = self._encode_jit(self.params, X, adj)
+        return Normal(mu, std)
 
     def decode(self, z) -> GraphBatch:
         """Latents -> generated graphs (model.py:214-253). Deterministic given z."""

@@ -135,3 +135,15 @@ def test_trained_checkpoint_quality(dataset):
     edge_acc = float((G.adj == R.adj).mean())
     assert alg_acc > 0.8, alg_acc    # measured 0.98 at save time
     assert edge_acc > 0.8, edge_acc  # measured 0.89 at save time
+
+
+def test_encode_returns_normal_like(model, G8):
+    q = model.encode(G8)
+    mu, std = q  # tuple unpacking still works
+    np.testing.assert_array_equal(np.asarray(q.loc), np.asarray(mu))
+    np.testing.assert_array_equal(np.asarray(q.scale), np.asarray(std))
+    import jax
+
+    s = q.sample(jax.random.PRNGKey(0))
+    assert s.shape == mu.shape
+    assert model.to() is model  # drop-in no-op
