@@ -245,6 +245,16 @@ class DXVAE:
             for i, metrics in enumerate(pending):
                 log.batch(i, metrics, step=step_base + epoch * n_iters + i + 1,
                           patches_per_sec=pps if i == n_iters - 1 else None)
+            # failure detection: a non-finite loss means divergence or device
+            # corruption — snapshot state for diagnosis and abort loudly
+            # instead of silently overwriting the good checkpoint
+            last = float(pending[-1]["loss"])
+            if not np.isfinite(last):
+                crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
+                save_checkpoint(crash, state)
+                raise FloatingPointError(
+                    f"non-finite loss {last} at epoch {epoch}; state saved to {crash}"
+                )
             if checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
             ):

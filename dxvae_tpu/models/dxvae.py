@@ -65,6 +65,10 @@ class DXVAEConfig(NamedTuple):
     # update) as a fused Pallas TPU kernel; training still works (custom VJP
     # rematerializes through a jnp-identical backward)
     use_pallas: bool = False
+    # rematerialize the loss scan body on the backward pass (jax.checkpoint):
+    # trades one extra forward per step for not storing per-step activations —
+    # relevant for very large batches
+    remat: bool = False
     # "float32" (reference-parity numerics) or "bfloat16" (mixed precision:
     # the GRU/aggregation/head recurrence runs in bf16 on the MXU, while
     # master weights, quantizer grids, thresholds, losses, and the posterior
@@ -620,8 +624,9 @@ def _elbo_loss_scan_tail(
         st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp, pw)
         return (st, lxi + d_lxi, le + d_le, h_new), None
 
+    body_fn = jax.checkpoint(body) if cfg.remat else body
     (st, loss_xi, loss_e, _), _ = jax.lax.scan(
-        body, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin), (t_arr, vi_arr, vj_arr)
+        body_fn, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin), (t_arr, vi_arr, vj_arr)
     )
     kld_w = _kld(mu, std) * w_kld
     total = loss_x0 + loss_xi + loss_e + kld_w

@@ -197,3 +197,24 @@ def test_import_from_real_torch_module():
     ours = h @ imported["h_to_mu"]["w"].T + imported["h_to_mu"]["b"]
     theirs = tm.h_to_mu(torch.from_numpy(h)).detach().numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+
+def test_remat_loss_matches(dataset):
+    """cfg.remat recomputes the scan body on backward — same values/grads."""
+    from dxvae_tpu.models import forward
+
+    X, P, adj = _batch(dataset, 4)
+    c0, c1 = DXVAEConfig(), DXVAEConfig(remat=True)
+    from dxvae_tpu.models import init_params
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    key = jax.random.PRNGKey(1)
+    (l0, _), g0 = jax.value_and_grad(
+        lambda p: forward(p, X, P, adj, key=key, training=True, cfg=c0), has_aux=True
+    )(params)
+    (l1, _), g1 = jax.value_and_grad(
+        lambda p: forward(p, X, P, adj, key=key, training=True, cfg=c1), has_aux=True
+    )(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
