@@ -159,6 +159,24 @@ def _compute_params(params, cfg: DXVAEConfig):
 STEP_NODE, STEP_SELF, STEP_EDGE = 0, 1, 2
 
 
+def _edge_head_split(params):
+    """Split the edge head's first layer for the cached-Hj optimization.
+
+    ``h_to_edge`` scores ``cat(Hi, Hj) @ W1.T + b1`` (model.py:59-63); since
+    ``Hj`` is frozen once node j's cadence finishes, its half of the layer-0
+    product is precomputed once per node (6 matmuls) instead of at every edge
+    step (21): cat(Hi,Hj) @ W1.T == Hi @ W1a.T + Hj @ W1b.T.
+    """
+    w1 = params["h_to_edge"][0]["w"]  # (4H, 2H)
+    size_h = w1.shape[1] // 2
+    return w1[:, :size_h], w1[:, size_h:], params["h_to_edge"][0]["b"]
+
+
+def _edge_logits(params, h_vi, eh_vj, w1a, b1):
+    l0 = h_vi @ w1a.T + eh_vj + b1
+    return L.linear(params["h_to_edge"][1], jax.nn.relu(l0))
+
+
 def _decode_step_program(n_nodes: int):
     """Static (type, vi, vj) descriptor arrays for the decode cadence
     (model.py:226-251): for vi in 1..n-1: NODE, SELF, EDGE(vi, vi-1..0)."""
@@ -313,10 +331,14 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     zero_hin = jnp.zeros((b, h), cdt)
     no_loop = jnp.zeros((b,), dt)
     gate_b = params["gate"]["b"]
+    w1a, w1b, b1 = _edge_head_split(params)
+    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)  # cached Hj @ W1b.T per node
     node_ids = np.arange(n)
 
     if cfg.unroll:
         for vi in range(1, n):
+            # node vi-1's hidden is now final: cache its edge-head half
+            eh = eh.at[:, vi - 1].set(st.hidden[:, vi - 1] @ w1b.T)
             # predict node vi's features from node vi-1's (final) hidden state
             xi_raw = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
@@ -337,10 +359,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             # exactly one window slot, so H_in accumulates incrementally
             h_acc = zero_hin
             for vj in range(vi - 1, -1, -1):
-                e = L.mlp(
-                    params["h_to_edge"],
-                    jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1),
-                ).astype(dt)
+                e = _edge_logits(params, st.hidden[:, vi], eh[:, vj], w1a, b1).astype(dt)
                 e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
                 e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
                 adj = adj.at[:, vj, vi].set(e_in)
@@ -357,16 +376,17 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
     def body(carry, step):
-        st, X, P, adj, h_acc = carry
+        st, X, P, adj, h_acc, eh = carry
         t, vi, vj = step
 
         def node_branch(_):
             h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
+            ehn = jax.lax.dynamic_update_index_in_dim(eh, h_prev @ w1b.T, vi - 1, axis=1)
             xi_raw = L.mlp(params["h_to_x"], h_prev).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             Xn = jax.lax.dynamic_update_index_in_dim(X, xi, vi, axis=1)
             Pn = jax.lax.dynamic_update_index_in_dim(P, pi, vi, axis=1)
-            return Xn, Pn, adj, zero_hin, no_loop  # reset the running H_in sum
+            return Xn, Pn, adj, zero_hin, no_loop, ehn  # reset the running H_in sum
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
@@ -374,12 +394,12 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             onehot_vi = (ids == vi).astype(dt)
             adjn = adj + s[:, None, None] * (onehot_vi[:, None] * onehot_vi[None, :])
-            return X, P, adjn, zero_hin, s  # window edges still absent
+            return X, P, adjn, zero_hin, s, eh  # window edges still absent
 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
-            h_vj = jax.lax.dynamic_index_in_dim(st.hidden, vj, axis=1, keepdims=False)
-            e = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1)).astype(dt)
+            eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
+            e = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
             e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
             e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
             oh_i = (ids == vi).astype(dt)
@@ -392,15 +412,17 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
             h_new = h_acc + slot_contribution(
                 proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
             )
-            return X, P, adjn, h_new, s
+            return X, P, adjn, h_new, s, eh
 
-        X, P, adj, h_acc, s = jax.lax.switch(t, [node_branch, self_branch, edge_branch], None)
+        X, P, adj, h_acc, s, eh = jax.lax.switch(
+            t, [node_branch, self_branch, edge_branch], None
+        )
         xv = jax.lax.dynamic_index_in_dim(X, vi, axis=1, keepdims=False)
         st = _decode_propagate(params, st, vi, xv, h_acc, s, wp, pw)
-        return (st, X, P, adj, h_acc), None
+        return (st, X, P, adj, h_acc, eh), None
 
-    (st, X, P, adj, _), _ = jax.lax.scan(
-        body, (st, X, P, adj, zero_hin), (t_arr, vi_arr, vj_arr)
+    (st, X, P, adj, _, _), _ = jax.lax.scan(
+        body, (st, X, P, adj, zero_hin, eh), (t_arr, vi_arr, vj_arr)
     )
     return X, P, adj
 
@@ -494,7 +516,11 @@ def elbo_loss(
             mu, std, weights, cfg,
         )
 
+    w1a, w1b, b1 = _edge_head_split(params)
+    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)
+
     for vi in range(1, n):
+        eh = eh.at[:, vi - 1].set(st.hidden[:, vi - 1] @ w1b.T)
         xi_pred = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
@@ -528,10 +554,7 @@ def elbo_loss(
         h_acc = zero_hin
         gate_b = params["gate"]["b"]
         for vj in range(vi - 1, -1, -1):
-            e_logit = L.mlp(
-                params["h_to_edge"],
-                jnp.concatenate([st.hidden[:, vi], st.hidden[:, vj]], -1),
-            ).astype(dt)  # (B, 2)
+            e_logit = _edge_logits(params, st.hidden[:, vi], eh[:, vj], w1a, b1).astype(dt)
             e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
             loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
             h_acc = h_acc + slot_contribution(
@@ -568,11 +591,13 @@ def _elbo_loss_scan_tail(
     zero_hin = jnp.zeros((b, cfg.size_h), cdt)
     zero = jnp.zeros((), dt)
     gate_b = params["gate"]["b"]
+    w1a, w1b, b1 = _edge_head_split(params)
+    eh0 = jnp.zeros((b, n, w1a.shape[0]), cdt)
     mse = lambda a, t: (a - t) ** 2
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
     def body(carry, step):
-        st, lxi, le, h_acc = carry
+        st, lxi, le, h_acc, eh = carry
         t, vi, vj = step
         xi_true = jax.lax.dynamic_index_in_dim(X_true, vi, axis=1, keepdims=False)
         pi_true = jax.lax.dynamic_index_in_dim(params_true, vi, axis=1, keepdims=False)
@@ -582,6 +607,7 @@ def _elbo_loss_scan_tail(
 
         def node_branch(_):
             h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
+            ehn = jax.lax.dynamic_update_index_in_dim(eh, h_prev @ w1b.T, vi - 1, axis=1)
             xi_pred = L.mlp(params["h_to_x"], h_prev).astype(dt)
             d_lxi = (
                 mse(xi_pred[:, :9] * w_env, xi_true[:, :9] * w_env).mean(0).sum()
@@ -592,18 +618,18 @@ def _elbo_loss_scan_tail(
                 + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
             )
             # propagate with no incident edges and no self-loop yet
-            return d_lxi, zero, zero_hin, no_loop
+            return d_lxi, zero, zero_hin, no_loop, ehn
 
         def self_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
             logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)  # (B, 1)
             d_le = L.bce_with_logits(logit, s_true[:, None]).mean()
-            return zero, d_le, zero_hin, s_true  # window edges still absent
+            return zero, d_le, zero_hin, s_true, eh  # window edges still absent
 
         def edge_branch(_):
             h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
-            h_vj = jax.lax.dynamic_index_in_dim(st.hidden, vj, axis=1, keepdims=False)
-            e_logit = L.mlp(params["h_to_edge"], jnp.concatenate([h_vi, h_vj], -1)).astype(dt)
+            eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
+            e_logit = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
             e_true = jnp.stack(
                 [
                     jax.lax.dynamic_index_in_dim(col, vj, axis=1, keepdims=False),
@@ -616,17 +642,18 @@ def _elbo_loss_scan_tail(
             h_new = h_acc + slot_contribution(
                 proj_vj, e_true[:, 0].astype(cdt), e_true[:, 1].astype(cdt), gate_b
             )
-            return zero, d_le, h_new, s_true
+            return zero, d_le, h_new, s_true, eh
 
-        d_lxi, d_le, h_new, s = jax.lax.switch(
+        d_lxi, d_le, h_new, s, eh = jax.lax.switch(
             t, [node_branch, self_branch, edge_branch], None
         )
         st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp, pw)
-        return (st, lxi + d_lxi, le + d_le, h_new), None
+        return (st, lxi + d_lxi, le + d_le, h_new, eh), None
 
     body_fn = jax.checkpoint(body) if cfg.remat else body
-    (st, loss_xi, loss_e, _), _ = jax.lax.scan(
-        body_fn, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin), (t_arr, vi_arr, vj_arr)
+    (st, loss_xi, loss_e, _, _), _ = jax.lax.scan(
+        body_fn, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin, eh0),
+        (t_arr, vi_arr, vj_arr),
     )
     kld_w = _kld(mu, std) * w_kld
     total = loss_x0 + loss_xi + loss_e + kld_w
