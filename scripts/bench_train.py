@@ -1,0 +1,65 @@
+"""Training-step throughput benchmark (secondary metric; the headline
+encode+decode benchmark is bench.py).
+
+Reports training patches/sec for the jitted AdamW step at a given batch size,
+using the same two-K chained methodology as bench.py.
+"""
+import argparse, os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--k-lo", type=int, default=2)
+    ap.add_argument("--k-hi", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax, jax.numpy as jnp, optax
+    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.models import DXVAEConfig, LossWeights, forward, init_params
+    from dxvae_tpu.parallel.train import init_train_state, make_optimizer
+
+    cfg = DXVAEConfig(compute_dtype=args.dtype)
+    b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_tb_cache", include="synprez").batch
+    n = args.batch
+    reps = -(-n // len(b.X))
+    X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[:n])
+    P = jnp.asarray(np.tile(b.params, (reps, 1, 1))[:n])
+    A = jnp.asarray(np.tile(b.adj, (reps, 1, 1))[:n].astype(np.float32))
+
+    opt = make_optimizer(1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
+
+    def chained(k):
+        @jax.jit
+        def run(state, key):
+            def body(i, carry):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                def loss_fn(p):
+                    t, _ = forward(p, X, P, A, key=sub, training=True,
+                                   weights=LossWeights(), cfg=cfg)
+                    return t
+                loss, grads = jax.value_and_grad(loss_fn)(st.params)
+                upd, opt_state = opt.update(grads, st.opt_state, st.params)
+                params = optax.apply_updates(st.params, upd)
+                return st._replace(params=params, opt_state=opt_state,
+                                   step=st.step + 1), key
+            st, _ = jax.lax.fori_loop(0, k, body, (state, key))
+            return st.params["h_to_mu"]["b"].sum()
+        return run
+
+    lo, hi = chained(args.k_lo), chained(args.k_hi)
+    key = jax.random.PRNGKey(1)
+    float(lo(state, key)); float(hi(state, key))
+    tl = min((lambda t0=time.perf_counter(): (float(lo(state, key)), time.perf_counter() - t0)[1])() for _ in range(3))
+    th = min((lambda t0=time.perf_counter(): (float(hi(state, key)), time.perf_counter() - t0)[1])() for _ in range(3))
+    per = (th - tl) / (args.k_hi - args.k_lo)
+    print(f"train step: {per*1e3:.2f} ms @ batch {n} ({n/per:.0f} patches/sec) dtype {args.dtype}")
+
+
+if __name__ == "__main__":
+    main()

@@ -245,3 +245,19 @@ def test_scan_equals_unrolled(params, real_batch):
     out_u = decode(params, z, cfg_u)
     for a, b in zip(out_s, out_u):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nondefault_sizes_work(real_batch):
+    """The whole stack is size-generic: a small config (H=64, Z=16) must
+    forward, decode, and take a gradient without shape errors."""
+    X, P, adj = real_batch
+    small = DXVAEConfig(size_h=64, size_z=16)
+    params = init_params(jax.random.PRNGKey(0), small)
+    total, _ = forward(params, X, P, adj, training=False, cfg=small)
+    assert np.isfinite(float(total))
+    z = jax.random.normal(jax.random.PRNGKey(1), (3, small.size_z))
+    Xd, Pd, Ad = decode(params, z, small)
+    assert Xd.shape == (3, 7, 27) and Pd.shape == (3, 7, 21) and Ad.shape == (3, 7, 7)
+    g = jax.grad(lambda p: forward(p, X, P, adj, key=jax.random.PRNGKey(2),
+                                   training=True, cfg=small)[0])(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
