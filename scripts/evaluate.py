@@ -1,0 +1,91 @@
+"""Model evaluation report: reconstruction + generation metrics.
+
+Evaluates a checkpoint on the 1024-patch training set AND on the held-out
+Dexed_01 bank (32 voices excluded from the baseline training set) — a proper
+generalization measurement the reference never had (its only evaluation was
+printing params and listening in Dexed, main.py:24-47).
+
+Usage: python scripts/evaluate.py [--checkpoint checkpoints/dx_1024_long.npz]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from dxvae_tpu.api import DXVAE, DXDataset
+from dxvae_tpu.graph import GraphBatch
+
+
+def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
+    per_param = (G.params == R.params).mean(axis=(0, 1))
+    return {
+        "alg_acc": float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean()),
+        "edge_acc": float((G.adj == R.adj).mean()),
+        "topology_exact": float((G.adj == R.adj).all(axis=(1, 2)).mean()),
+        "param_exact": float((G.params == R.params).mean()),
+        "mean_abs_X_err": float(np.abs(G.X - R.X).mean()),
+        "env_param_acc": float((G.params[:, 1:, 1:9] == R.params[:, 1:, 1:9]).mean()),
+        "freq_coarse_acc": float((G.params[:, 1:, 9] == R.params[:, 1:, 9]).mean()),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="checkpoints/dx_1024_long.npz")
+    ap.add_argument("--json", action="store_true", help="machine-readable output")
+    args = ap.parse_args()
+
+    full = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_eval_cache")
+    train = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_eval_cache",
+                      include="synprez")
+    # held-out = voices not in the synprez subset (the Dexed_01 bank)
+    train_keys = {bytes(p.tobytes()) for p in train.batch.params}
+    held_idx = [i for i, p in enumerate(full.batch.params)
+                if bytes(p.tobytes()) not in train_keys]
+    held = full[np.asarray(held_idx)] if held_idx else None
+
+    model = DXVAE(checkpoint=args.checkpoint)
+    report = {"checkpoint": args.checkpoint}
+    report["train"] = reconstruction_metrics(train.batch, model.encode_decode(train.batch))
+    if held is not None and len(held):
+        report["held_out"] = reconstruction_metrics(held, model.encode_decode(held))
+        report["held_out"]["n"] = len(held)
+
+    gen = model.generate(512)
+    algs = gen.params[:, 0, 18]
+    report["generation"] = {
+        "alg_coverage": int(len(np.unique(algs))),
+        "self_loop_rate": float(gen.adj[:, range(7), range(7)].mean()),
+        "mean_edges": float(gen.adj.sum(axis=(1, 2)).mean()),
+        # fraction of samples whose generated topology matches some real DX7
+        # algorithm exactly (ignoring which one the alg param claims)
+        "valid_topology_rate": _valid_topology_rate(gen.adj),
+    }
+
+    if args.json:
+        print(json.dumps(report, indent=2))
+    else:
+        for section, metrics in report.items():
+            if isinstance(metrics, dict):
+                print(f"[{section}]")
+                for k, v in metrics.items():
+                    print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
+            else:
+                print(f"{section}: {metrics}")
+
+
+def _valid_topology_rate(adj) -> float:
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    table = ALGO_ADJ.astype(adj.dtype)  # (32,7,7)
+    match = (adj[:, None] == table[None]).all(axis=(2, 3)).any(axis=1)
+    return float(match.mean())
+
+
+if __name__ == "__main__":
+    main()

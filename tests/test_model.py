@@ -261,3 +261,25 @@ def test_nondefault_sizes_work(real_batch):
     g = jax.grad(lambda p: forward(p, X, P, adj, key=jax.random.PRNGKey(2),
                                    training=True, cfg=small)[0])(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_trained_weights_loss_parity(dataset):
+    """ELBO parity on *trained* weights (BASELINE target: within 1%): our loss
+    vs the literal-semantics oracle must agree far tighter than that."""
+    import os
+
+    ck = "/root/repo/checkpoints/dx_1024.npz"
+    if not os.path.exists(ck):
+        pytest.skip("trained checkpoint not present")
+    from dxvae_tpu.utils.checkpoint import load_checkpoint
+
+    trained = load_checkpoint(ck, jax.tree.map(np.asarray, init_params(jax.random.PRNGKey(0), CFG)))
+    b = dataset[:2]
+    X, P, adj = b.X, b.params, b.adj.astype(np.float32)
+    mu, std, st = encode(trained, X, adj, CFG)
+    total, _ = elbo_loss(trained, mu, std, X, P, adj, training=False, cfg=CFG, init_state=st)
+    o = TorchOracle(trained)
+    mu_o, std_o, _ = o.encode(X, adj)
+    total_o, _, _ = o.loss(np.asarray(mu), X, P, adj, mu=np.asarray(mu), std=np.asarray(std))
+    rel = abs(float(total) - float(total_o)) / abs(float(total_o))
+    assert rel < 1e-3, f"trained-weights ELBO rel diff {rel}"
