@@ -27,7 +27,7 @@ Model recurrence (matching model.py:151-198):
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -508,7 +508,6 @@ def elbo_loss(
 
     loss_xi = jnp.zeros((), dt)
     loss_e = jnp.zeros((), dt)
-    node_ids = np.arange(n)
 
     if not cfg.unroll:
         return _elbo_loss_scan_tail(

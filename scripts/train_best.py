@@ -1,0 +1,46 @@
+"""Beyond-reference training: cosine LR schedule + larger batch on the
+1024-patch baseline set, using the raw jitted train step directly."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+import jax, optax
+
+from dxvae_tpu.data.dataset import DXDataset
+from dxvae_tpu.models import DXVAEConfig, LossWeights
+from dxvae_tpu.parallel.train import TrainState, init_train_state, make_train_step
+from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+EPOCHS, BATCH, PEAK_LR = 1000, 64, 1e-3
+cfg = DXVAEConfig()
+weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=0.002)
+
+ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_best_cache", include="synprez")
+X = np.asarray(ds.batch.X, np.float32)
+P = np.asarray(ds.batch.params, np.int32)
+A = np.asarray(ds.batch.adj, np.float32)
+n = len(ds)
+iters = n // BATCH
+total_steps = EPOCHS * iters
+
+sched = optax.warmup_cosine_decay_schedule(0.0, PEAK_LR, 200, total_steps, PEAK_LR * 1e-2)
+opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
+step = make_train_step(opt, cfg, weights)
+
+rng = np.random.default_rng(0)
+key = jax.random.PRNGKey(1)
+t0 = time.time()
+last = None
+for epoch in range(EPOCHS):
+    perm = rng.permutation(n)
+    for i in range(iters):
+        idx = perm[i * BATCH : (i + 1) * BATCH]
+        key, sub = jax.random.split(key)
+        state, m = step(state, X[idx], P[idx], A[idx], sub)
+        last = m
+    if epoch % 100 == 0 or epoch == EPOCHS - 1:
+        print(f"epoch {epoch}: loss {float(last['loss']):.4f} "
+              f"(wall {time.time()-t0:.0f}s)", flush=True)
+save_checkpoint("/tmp/dx_1024_best_state.npz", state)
+save_checkpoint("checkpoints/dx_1024_best.npz", state.params, params_only=True)
+print(f"done in {time.time()-t0:.0f}s; final loss {float(last['loss']):.4f}")
