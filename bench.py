@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
-    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--repeats", type=int, default=3)  # per-K timing repeats
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="compute dtype; default bfloat16 mixed precision (quantizer "
                          "grids, thresholds, and the posterior stay float32 — decode "
@@ -58,33 +58,35 @@ def main() -> int:
 
     X, adj = jnp.asarray(X), jnp.asarray(adj.astype(np.float32))
 
-    def chained(k):
-        @jax.jit
-        def run(params, X, adj):
-            def body(_, carry):
-                x, a, acc = carry
-                mu, _, _ = encode(params, x, a, cfg)
-                xn, pn, an = decode(params, mu, cfg)
-                return (xn, an, acc + pn.sum())
+    @jax.jit
+    def run(params, X, adj, k):
+        # traced trip count: ONE compiled program serves every K, so the
+        # two-K difference cancels fixed overheads exactly
+        def body(_, carry):
+            x, a, acc = carry
+            mu, _, _ = encode(params, x, a, cfg)
+            xn, pn, an = decode(params, mu, cfg)
+            return (xn, an, acc + pn.sum())
 
-            _, _, acc = jax.lax.fori_loop(0, k, body, (X, adj, jnp.zeros((), X.dtype)))
-            return acc
+        _, _, acc = jax.lax.fori_loop(0, k, body, (X, adj, jnp.zeros((), X.dtype)))
+        return acc
 
-        return run
-
-    run_lo, run_hi = chained(args.k_lo), chained(args.k_hi)
-
-    def timed(fn):
-        float(fn(params, X, adj))  # warmup/compile
+    def timed(k):
         ts = []
         for _ in range(args.repeats):
             t0 = time.perf_counter()
-            float(fn(params, X, adj))
+            float(run(params, X, adj, k))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t_lo, t_hi = timed(run_lo), timed(run_hi)
-    per_iter = (t_hi - t_lo) / (args.k_hi - args.k_lo)
+    float(run(params, X, adj, 1))  # compile once
+    estimates = []
+    for _ in range(3):
+        t_lo, t_hi = timed(args.k_lo), timed(args.k_hi)
+        estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
+    estimates.sort()
+    per_iter = estimates[1]  # median of three two-K estimates
+    t_lo = t_hi = float("nan")
     pps = n / per_iter
 
     print(
@@ -98,8 +100,8 @@ def main() -> int:
         )
     )
     print(
-        f"# per-roundtrip {per_iter*1e3:.3f} ms | T({args.k_lo})={t_lo*1e3:.1f} ms "
-        f"T({args.k_hi})={t_hi*1e3:.1f} ms | batch {n} | dtype {args.dtype} | "
+        f"# per-roundtrip {per_iter*1e3:.3f} ms (3 estimates: "
+        f"{[round(e*1e3, 3) for e in estimates]}) | batch {n} | dtype {args.dtype} | "
         f"devices {jax.devices()}",
         file=sys.stderr,
     )
