@@ -219,22 +219,34 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     node_ids = np.arange(n)
 
     if cfg.unroll:
+        # list-of-arrays state: node indices are static, so reads/writes are
+        # plain Python indexing — zero dynamic-update-slice / copy ops
+        hid = [None] * n
+        proj = [None] * n
         for v in range(n - 1, -1, -1):
             if v == n - 1:
-                # leaf starts from zero H_init (model.py:203-204)
+                # leaf starts from zero H_init (model.py:203-204); the window
+                # above it is empty either way
                 h_in = jnp.zeros((b, h), X.dtype)
             else:
-                win = jnp.asarray((node_ids > v).astype(np.float32)).astype(X.dtype)
-                mf = adj[:, :, v] * win  # predecessors of v in the visited window
-                mb = adj[:, v, :] * win  # successors of v in the visited window
-                h_in = gated_aggregate(st, mf, mb, gate_b)
+                # gated sum over the visited window x > v, one slot at a time
+                # (identical math to the stacked form; zero-indicator slots
+                # contribute exactly zero through the bias-free mapper)
+                h_in = sum(
+                    slot_contribution(proj[x], adj[:, x, v], adj[:, v, x], gate_b)
+                    for x in range(v + 1, n)
+                )
             if v == 0:
                 hv = L.gru(params["enc_rooter"], X[:, 0, : cfg.size_x0], h_in)
             else:
                 hv = L.gru(params["enc_combiner"], X[:, v], h_in)
                 x_loop = X[:, v] * adj[:, v, v][:, None]  # features iff self-loop
                 hv = L.gru(params["enc_looper"], x_loop, hv)
-            st = st.write(v, hv, wp)
+            hid[v] = hv
+            proj[v] = (hv @ wp.T).reshape(b, 4, h)
+        st = PropState(
+            hidden=jnp.stack(hid, axis=1), proj=jnp.stack(proj, axis=1)
+        )
     else:
         # scan over v = n-1 .. 1.  The leaf's "given zero H_init" is the
         # generic path: its window mask (ids > n-1) is empty and the bias-free
@@ -266,6 +278,20 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     mu = L.linear(full["h_to_mu"], h0)
     std = jax.nn.softplus(L.linear(full["h_to_std"], h0))
     return mu, std, st
+
+
+def _propagate_list(params, x_vi, h_in, self_loop, wp, cdt, pw=None):
+    """List-state decode propagate: returns (hv, proj_row) for one node.
+    Same math as :func:`_decode_propagate` without the array state writes."""
+    if pw is not None:
+        from dxvae_tpu.ops.fused_propagate import propagate_step
+
+        return propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)
+    x_vi = x_vi.astype(cdt)
+    hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
+    hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
+    proj = (hv @ _w_pack(params).T).reshape(hv.shape[0], 4, -1)
+    return hv, proj
 
 
 def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp, pw=None):
@@ -317,63 +343,87 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
 
         pw = pack_propagate_weights(params, cdt)
 
-    st = init_state if init_state is not None else PropState.zeros(b, n, h, cdt)
+    del init_state  # decode never reads pre-existing node state (windows only
+    # cover nodes it has already rewritten), so a fresh zero state is identical
 
     h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
     x0_plus = L.mlp(params["h_to_x0"], h_init).astype(dt)
     x0, p0 = reg_x0(x0_plus, cfg.size_x, cfg.n_params)
     h0 = L.gru(params["dec_rooter"], x0[:, : cfg.size_x0].astype(cdt), h_init)
-    st = st.write(0, h0, wp)
 
-    X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
-    P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
-    adj = jnp.zeros((b, n, n), dt)
     zero_hin = jnp.zeros((b, h), cdt)
     no_loop = jnp.zeros((b,), dt)
     gate_b = params["gate"]["b"]
     w1a, w1b, b1 = _edge_head_split(params)
-    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)  # cached Hj @ W1b.T per node
     node_ids = np.arange(n)
 
     if cfg.unroll:
+        # list-of-arrays state (static node indices, no dynamic-update-slice)
+        hid = [None] * n
+        proj = [None] * n
+        ehl = [None] * n
+        hid[0] = h0
+        proj[0] = (h0 @ wp.T).reshape(b, 4, h)
+        Xl = [None] * n
+        Pl = [None] * n
+        adj_self = [jnp.zeros((b,), dt) for _ in range(n)]
+        adj_in = [[None] * n for _ in range(n)]   # adj_in[j][i] = edge j -> i
+        Xl[0], Pl[0] = x0, p0
         for vi in range(1, n):
             # node vi-1's hidden is now final: cache its edge-head half
-            eh = eh.at[:, vi - 1].set(st.hidden[:, vi - 1] @ w1b.T)
+            ehl[vi - 1] = hid[vi - 1] @ w1b.T
             # predict node vi's features from node vi-1's (final) hidden state
-            xi_raw = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
+            xi_raw = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
-            X = X.at[:, vi].set(xi)
-            P = P.at[:, vi].set(pi)
+            Xl[vi], Pl[vi] = xi, pi
 
             # propagate with no incident edges yet (H_in = 0)
-            st = _decode_propagate(params, st, vi, xi, zero_hin, no_loop, wp, pw)
+            hid[vi], proj[vi] = _propagate_list(params, xi, zero_hin, no_loop, wp, cdt, pw)
 
             # self-loop decision, then re-propagate (model.py:236-240);
             # window edges still absent, so H_in stays 0
-            s_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)
+            s_logit = L.mlp(params["h_to_edge_self"], hid[vi]).astype(dt)
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
-            adj = adj.at[:, vi, vi].set(s)
-            st = _decode_propagate(params, st, vi, xi, zero_hin, s, wp, pw)
+            adj_self[vi] = s
+            hid[vi], proj[vi] = _propagate_list(params, xi, zero_hin, s, wp, cdt, pw)
 
             # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
             # exactly one window slot, so H_in accumulates incrementally
             h_acc = zero_hin
             for vj in range(vi - 1, -1, -1):
-                e = _edge_logits(params, st.hidden[:, vi], eh[:, vj], w1a, b1).astype(dt)
+                e = _edge_logits(params, hid[vi], ehl[vj], w1a, b1).astype(dt)
                 e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
                 e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
-                adj = adj.at[:, vj, vi].set(e_in)
-                adj = adj.at[:, vi, vj].set(e_out)
+                adj_in[vj][vi] = e_in
+                adj_in[vi][vj] = e_out
                 h_acc = h_acc + slot_contribution(
-                    st.proj[:, vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
+                    proj[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                st = _decode_propagate(params, st, vi, xi, h_acc, s, wp, pw)
+                hid[vi], proj[vi] = _propagate_list(params, xi, h_acc, s, wp, cdt, pw)
+        # assemble dense outputs once
+        X = jnp.stack(Xl, axis=1)
+        P = jnp.stack(Pl, axis=1)
+        rows = []
+        for i in range(n):
+            cols = [
+                adj_self[i] if j == i else (adj_in[i][j] if adj_in[i][j] is not None
+                                            else jnp.zeros((b,), dt))
+                for j in range(n)
+            ]
+            rows.append(jnp.stack(cols, axis=1))
+        adj = jnp.stack(rows, axis=1)
         return X, P, adj
 
     # scan execution: one body (switch over NODE/SELF/EDGE) over the 33-step
     # static program — same math, ~10x smaller XLA graph
     ids = jnp.asarray(node_ids)
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
+
+    st = PropState.zeros(b, n, h, cdt).write(0, h0, wp)
+    X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
+    P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
+    adj = jnp.zeros((b, n, n), dt)
+    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)  # cached Hj @ W1b.T per node
 
     def body(carry, step):
         st, X, P, adj, h_acc, eh = carry
@@ -487,11 +537,11 @@ def elbo_loss(
     h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
     x0_pred = L.mlp(params["h_to_x0"], h_init).astype(dt)  # (B, 55) raw head output
 
-    st = init_state if init_state is not None else PropState.zeros(b, n, cfg.size_h, cdt)
+    del init_state  # the cadence never reads pre-existing node state; fresh
+    # zero state is identical (and lets encode's stacked state be DCE'd)
     # teacher-force X0_true, compute H0 with given H_in = h_init (model.py:291-297)
     x0_true = X_true[:, 0, :]
     h0 = L.gru(params["dec_rooter"], x0_true[:, : cfg.size_x0].astype(cdt), h_init)
-    st = st.write(0, h0, wp)
 
     p0_true = params_true[:, 0, :]
     mse = lambda a, t: (a - t) ** 2
@@ -510,17 +560,26 @@ def elbo_loss(
     loss_e = jnp.zeros((), dt)
 
     if not cfg.unroll:
+        st = PropState.zeros(b, n, cfg.size_h, cdt).write(0, h0, wp)
         return _elbo_loss_scan_tail(
             params, st, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true,
             mu, std, weights, cfg,
         )
 
+    # list-of-arrays state (static node indices, no dynamic-update-slice)
     w1a, w1b, b1 = _edge_head_split(params)
-    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)
+    hid = [None] * n
+    proj = [None] * n
+    ehl = [None] * n
+    hid[0] = h0
+    proj[0] = (h0 @ wp.T).reshape(b, 4, cfg.size_h)
+    no_loop = jnp.zeros((b,), dt)
+    zero_hin = jnp.zeros((b, cfg.size_h), cdt)
+    gate_b = params["gate"]["b"]
 
     for vi in range(1, n):
-        eh = eh.at[:, vi - 1].set(st.hidden[:, vi - 1] @ w1b.T)
-        xi_pred = L.mlp(params["h_to_x"], st.hidden[:, vi - 1]).astype(dt)
+        ehl[vi - 1] = hid[vi - 1] @ w1b.T
+        xi_pred = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
 
@@ -535,34 +594,31 @@ def elbo_loss(
         )
 
         # teacher-force node vi, propagate with no incident edges (H_in = 0)
-        no_loop = jnp.zeros((b,), dt)
-        zero_hin = jnp.zeros((b, cfg.size_h), cdt)
-        st = _decode_propagate(params, st, vi, xi_true, zero_hin, no_loop, wp, pw)
+        hid[vi], proj[vi] = _propagate_list(params, xi_true, zero_hin, no_loop, wp, cdt, pw)
 
         # self-loop: predict from Hi, teacher-force true loop, re-propagate
         # (window edges still absent, H_in stays 0)
-        self_logit = L.mlp(params["h_to_edge_self"], st.hidden[:, vi]).astype(dt)  # (B, 1)
+        self_logit = L.mlp(params["h_to_edge_self"], hid[vi]).astype(dt)  # (B, 1)
         self_true = adj_true[:, vi, vi][:, None]
         loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
 
         s_true = adj_true[:, vi, vi]
-        st = _decode_propagate(params, st, vi, xi_true, zero_hin, s_true, wp, pw)
+        hid[vi], proj[vi] = _propagate_list(params, xi_true, zero_hin, s_true, wp, cdt, pw)
 
         # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate;
         # each teacher-forced pair enables one window slot -> H_in accumulates
         h_acc = zero_hin
-        gate_b = params["gate"]["b"]
         for vj in range(vi - 1, -1, -1):
-            e_logit = _edge_logits(params, st.hidden[:, vi], eh[:, vj], w1a, b1).astype(dt)
+            e_logit = _edge_logits(params, hid[vi], ehl[vj], w1a, b1).astype(dt)
             e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
             loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
             h_acc = h_acc + slot_contribution(
-                st.proj[:, vj],
+                proj[vj],
                 adj_true[:, vj, vi].astype(cdt),
                 adj_true[:, vi, vj].astype(cdt),
                 gate_b,
             )
-            st = _decode_propagate(params, st, vi, xi_true, h_acc, s_true, wp, pw)
+            hid[vi], proj[vi] = _propagate_list(params, xi_true, h_acc, s_true, wp, cdt, pw)
 
     # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
     kld_w = _kld(mu, std) * w_kld
