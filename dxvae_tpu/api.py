@@ -76,6 +76,9 @@ class DXVAE:
         checkpoint: str | None = None,
         seed: int = 0,
         strict_parity: bool = True,
+        unroll: bool = False,
+        compute_dtype: str = "float32",
+        use_pallas: bool = False,
     ):
         self.cfg = DXVAEConfig(
             n_nodes=n_nodes,
@@ -85,6 +88,9 @@ class DXVAE:
             size_h=size_H,
             size_z=size_Z,
             strict_parity=strict_parity,
+            unroll=unroll,
+            compute_dtype=compute_dtype,
+            use_pallas=use_pallas,
         )
         self._key = jax.random.PRNGKey(seed)
         self.params = init_params(self._next_key(), self.cfg)

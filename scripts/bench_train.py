@@ -15,6 +15,7 @@ def main():
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
+    ap.add_argument("--scan", action="store_true")
     args = ap.parse_args()
 
     import jax, jax.numpy as jnp, optax
@@ -22,7 +23,7 @@ def main():
     from dxvae_tpu.models import DXVAEConfig, LossWeights, forward, init_params
     from dxvae_tpu.parallel.train import init_train_state, make_optimizer
 
-    cfg = DXVAEConfig(compute_dtype=args.dtype)
+    cfg = DXVAEConfig(compute_dtype=args.dtype, unroll=not args.scan)
     b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_tb_cache", include="synprez").batch
     n = args.batch
     reps = -(-n // len(b.X))
