@@ -10,8 +10,8 @@ from dxvae_tpu.models import DXVAEConfig, LossWeights
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_train_step
 from dxvae_tpu.utils.checkpoint import save_checkpoint
 
-EPOCHS, BATCH, PEAK_LR = 1000, 64, 1e-3
-cfg = DXVAEConfig()
+EPOCHS, BATCH, PEAK_LR = 5000, 128, 1e-3
+cfg = DXVAEConfig(unroll=True)  # fastest training path (182k patches/sec)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=0.002)
 
 ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_best_cache", include="synprez")
@@ -38,7 +38,7 @@ for epoch in range(EPOCHS):
         key, sub = jax.random.split(key)
         state, m = step(state, X[idx], P[idx], A[idx], sub)
         last = m
-    if epoch % 100 == 0 or epoch == EPOCHS - 1:
+    if epoch % 500 == 0 or epoch == EPOCHS - 1:
         print(f"epoch {epoch}: loss {float(last['loss']):.4f} "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
 save_checkpoint("/tmp/dx_1024_best_state.npz", state)
