@@ -280,18 +280,28 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     return mu, std, st
 
 
-def _propagate_list(params, x_vi, h_in, self_loop, wp, cdt, pw=None):
-    """List-state decode propagate: returns (hv, proj_row) for one node.
-    Same math as :func:`_decode_propagate` without the array state writes."""
+def _propagate_list(params, x_vi, h_in, self_loop, cdt, pw=None):
+    """List-state decode propagate: returns the refreshed hidden state only.
+
+    Projection-cache rows are NOT computed here: a node's cached projections
+    (and its edge-head half) are only ever read after the node's whole refresh
+    cadence finishes, so callers compute them lazily — once per node instead
+    of at all 33 refreshes — via :func:`_node_caches`."""
     if pw is not None:
         from dxvae_tpu.ops.fused_propagate import propagate_step
 
-        return propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)
+        return propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)[0]
     x_vi = x_vi.astype(cdt)
     hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
     hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
-    proj = (hv @ _w_pack(params).T).reshape(hv.shape[0], 4, -1)
-    return hv, proj
+    return hv
+
+
+def _node_caches(h, w1b, wp):
+    """Per-node cache computation for a *finalized* hidden state:
+    (edge-head half, projection rows).  Computed once per node — a node's
+    caches are only ever read after its whole refresh cadence finishes."""
+    return h @ w1b.T, (h @ wp.T).reshape(h.shape[0], 4, -1)
 
 
 def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp, pw=None):
@@ -358,34 +368,35 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     node_ids = np.arange(n)
 
     if cfg.unroll:
-        # list-of-arrays state (static node indices, no dynamic-update-slice)
+        # list-of-arrays state (static node indices, no dynamic-update-slice);
+        # per-node caches (edge-head half + projections) computed lazily —
+        # once per finalized node, fused into one matmul (_node_caches)
         hid = [None] * n
         proj = [None] * n
         ehl = [None] * n
         hid[0] = h0
-        proj[0] = (h0 @ wp.T).reshape(b, 4, h)
         Xl = [None] * n
         Pl = [None] * n
         adj_self = [jnp.zeros((b,), dt) for _ in range(n)]
         adj_in = [[None] * n for _ in range(n)]   # adj_in[j][i] = edge j -> i
         Xl[0], Pl[0] = x0, p0
         for vi in range(1, n):
-            # node vi-1's hidden is now final: cache its edge-head half
-            ehl[vi - 1] = hid[vi - 1] @ w1b.T
+            # node vi-1's hidden is now final: compute its caches once
+            ehl[vi - 1], proj[vi - 1] = _node_caches(hid[vi - 1], w1b, wp)
             # predict node vi's features from node vi-1's (final) hidden state
             xi_raw = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             Xl[vi], Pl[vi] = xi, pi
 
             # propagate with no incident edges yet (H_in = 0)
-            hid[vi], proj[vi] = _propagate_list(params, xi, zero_hin, no_loop, wp, cdt, pw)
+            hid[vi] = _propagate_list(params, xi, zero_hin, no_loop, cdt, pw)
 
             # self-loop decision, then re-propagate (model.py:236-240);
             # window edges still absent, so H_in stays 0
             s_logit = L.mlp(params["h_to_edge_self"], hid[vi]).astype(dt)
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             adj_self[vi] = s
-            hid[vi], proj[vi] = _propagate_list(params, xi, zero_hin, s, wp, cdt, pw)
+            hid[vi] = _propagate_list(params, xi, zero_hin, s, cdt, pw)
 
             # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
             # exactly one window slot, so H_in accumulates incrementally
@@ -399,7 +410,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 h_acc = h_acc + slot_contribution(
                     proj[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                hid[vi], proj[vi] = _propagate_list(params, xi, h_acc, s, wp, cdt, pw)
+                hid[vi] = _propagate_list(params, xi, h_acc, s, cdt, pw)
         # assemble dense outputs once
         X = jnp.stack(Xl, axis=1)
         P = jnp.stack(Pl, axis=1)
@@ -419,35 +430,39 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     ids = jnp.asarray(node_ids)
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
-    st = PropState.zeros(b, n, h, cdt).write(0, h0, wp)
+    hid_a = jnp.zeros((b, n, h), cdt).at[:, 0].set(h0)
+    proj_a = jnp.zeros((b, n, 4, h), cdt)  # rows filled lazily per finalized node
     X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
     P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
     adj = jnp.zeros((b, n, n), dt)
     eh = jnp.zeros((b, n, w1a.shape[0]), cdt)  # cached Hj @ W1b.T per node
 
     def body(carry, step):
-        st, X, P, adj, h_acc, eh = carry
+        hid_a, proj_a, X, P, adj, h_acc, eh = carry
         t, vi, vj = step
 
         def node_branch(_):
-            h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
-            ehn = jax.lax.dynamic_update_index_in_dim(eh, h_prev @ w1b.T, vi - 1, axis=1)
+            # node vi-1's hidden is final: compute its caches once (fused)
+            h_prev = jax.lax.dynamic_index_in_dim(hid_a, vi - 1, axis=1, keepdims=False)
+            eh_row, proj_row = _node_caches(h_prev, w1b, wp)
+            ehn = jax.lax.dynamic_update_index_in_dim(eh, eh_row, vi - 1, axis=1)
+            projn = jax.lax.dynamic_update_index_in_dim(proj_a, proj_row, vi - 1, axis=1)
             xi_raw = L.mlp(params["h_to_x"], h_prev).astype(dt)
             xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
             Xn = jax.lax.dynamic_update_index_in_dim(X, xi, vi, axis=1)
             Pn = jax.lax.dynamic_update_index_in_dim(P, pi, vi, axis=1)
-            return Xn, Pn, adj, zero_hin, no_loop, ehn  # reset the running H_in sum
+            return Xn, Pn, adj, zero_hin, no_loop, ehn, projn  # reset H_in sum
 
         def self_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
+            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
             s_logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)
             s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
             onehot_vi = (ids == vi).astype(dt)
             adjn = adj + s[:, None, None] * (onehot_vi[:, None] * onehot_vi[None, :])
-            return X, P, adjn, zero_hin, s, eh  # window edges still absent
+            return X, P, adjn, zero_hin, s, eh, proj_a  # window edges still absent
 
         def edge_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
+            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
             eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
             e = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
             e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
@@ -458,21 +473,22 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                        + e_out[:, None, None] * (oh_i[:, None] * oh_j[None, :])
             row = jax.lax.dynamic_index_in_dim(adjn, vi, axis=1, keepdims=False)
             s = jax.lax.dynamic_index_in_dim(row, vi, axis=1, keepdims=False)
-            proj_vj = jax.lax.dynamic_index_in_dim(st.proj, vj, axis=1, keepdims=False)
+            proj_vj = jax.lax.dynamic_index_in_dim(proj_a, vj, axis=1, keepdims=False)
             h_new = h_acc + slot_contribution(
                 proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
             )
-            return X, P, adjn, h_new, s, eh
+            return X, P, adjn, h_new, s, eh, proj_a
 
-        X, P, adj, h_acc, s, eh = jax.lax.switch(
+        X, P, adj, h_acc, s, eh, proj_a = jax.lax.switch(
             t, [node_branch, self_branch, edge_branch], None
         )
         xv = jax.lax.dynamic_index_in_dim(X, vi, axis=1, keepdims=False)
-        st = _decode_propagate(params, st, vi, xv, h_acc, s, wp, pw)
-        return (st, X, P, adj, h_acc, eh), None
+        hv = _propagate_list(params, xv, h_acc, s, cdt, pw)
+        hid_a = jax.lax.dynamic_update_index_in_dim(hid_a, hv, vi, axis=1)
+        return (hid_a, proj_a, X, P, adj, h_acc, eh), None
 
-    (st, X, P, adj, _, _), _ = jax.lax.scan(
-        body, (st, X, P, adj, zero_hin, eh), (t_arr, vi_arr, vj_arr)
+    (_, _, X, P, adj, _, _), _ = jax.lax.scan(
+        body, (hid_a, proj_a, X, P, adj, zero_hin, eh), (t_arr, vi_arr, vj_arr)
     )
     return X, P, adj
 
@@ -566,19 +582,19 @@ def elbo_loss(
             mu, std, weights, cfg,
         )
 
-    # list-of-arrays state (static node indices, no dynamic-update-slice)
+    # list-of-arrays state (static node indices, no dynamic-update-slice);
+    # per-node caches computed lazily, once per finalized node
     w1a, w1b, b1 = _edge_head_split(params)
     hid = [None] * n
     proj = [None] * n
     ehl = [None] * n
     hid[0] = h0
-    proj[0] = (h0 @ wp.T).reshape(b, 4, cfg.size_h)
     no_loop = jnp.zeros((b,), dt)
     zero_hin = jnp.zeros((b, cfg.size_h), cdt)
     gate_b = params["gate"]["b"]
 
     for vi in range(1, n):
-        ehl[vi - 1] = hid[vi - 1] @ w1b.T
+        ehl[vi - 1], proj[vi - 1] = _node_caches(hid[vi - 1], w1b, wp)
         xi_pred = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
@@ -594,7 +610,7 @@ def elbo_loss(
         )
 
         # teacher-force node vi, propagate with no incident edges (H_in = 0)
-        hid[vi], proj[vi] = _propagate_list(params, xi_true, zero_hin, no_loop, wp, cdt, pw)
+        hid[vi] = _propagate_list(params, xi_true, zero_hin, no_loop, cdt, pw)
 
         # self-loop: predict from Hi, teacher-force true loop, re-propagate
         # (window edges still absent, H_in stays 0)
@@ -603,7 +619,7 @@ def elbo_loss(
         loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
 
         s_true = adj_true[:, vi, vi]
-        hid[vi], proj[vi] = _propagate_list(params, xi_true, zero_hin, s_true, wp, cdt, pw)
+        hid[vi] = _propagate_list(params, xi_true, zero_hin, s_true, cdt, pw)
 
         # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate;
         # each teacher-forced pair enables one window slot -> H_in accumulates
@@ -618,7 +634,7 @@ def elbo_loss(
                 adj_true[:, vi, vj].astype(cdt),
                 gate_b,
             )
-            hid[vi], proj[vi] = _propagate_list(params, xi_true, h_acc, s_true, wp, cdt, pw)
+            hid[vi] = _propagate_list(params, xi_true, h_acc, s_true, cdt, pw)
 
     # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
     kld_w = _kld(mu, std) * w_kld
@@ -652,7 +668,7 @@ def _elbo_loss_scan_tail(
     t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
 
     def body(carry, step):
-        st, lxi, le, h_acc, eh = carry
+        hid_a, proj_a, lxi, le, h_acc, eh = carry
         t, vi, vj = step
         xi_true = jax.lax.dynamic_index_in_dim(X_true, vi, axis=1, keepdims=False)
         pi_true = jax.lax.dynamic_index_in_dim(params_true, vi, axis=1, keepdims=False)
@@ -661,8 +677,10 @@ def _elbo_loss_scan_tail(
         s_true = jax.lax.dynamic_index_in_dim(row, vi, axis=1, keepdims=False)    # adj[vi, vi]
 
         def node_branch(_):
-            h_prev = jax.lax.dynamic_index_in_dim(st.hidden, vi - 1, axis=1, keepdims=False)
-            ehn = jax.lax.dynamic_update_index_in_dim(eh, h_prev @ w1b.T, vi - 1, axis=1)
+            h_prev = jax.lax.dynamic_index_in_dim(hid_a, vi - 1, axis=1, keepdims=False)
+            eh_row, proj_row = _node_caches(h_prev, w1b, wp)
+            ehn = jax.lax.dynamic_update_index_in_dim(eh, eh_row, vi - 1, axis=1)
+            projn = jax.lax.dynamic_update_index_in_dim(proj_a, proj_row, vi - 1, axis=1)
             xi_pred = L.mlp(params["h_to_x"], h_prev).astype(dt)
             d_lxi = (
                 mse(xi_pred[:, :9] * w_env, xi_true[:, :9] * w_env).mean(0).sum()
@@ -673,16 +691,16 @@ def _elbo_loss_scan_tail(
                 + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
             )
             # propagate with no incident edges and no self-loop yet
-            return d_lxi, zero, zero_hin, no_loop, ehn
+            return d_lxi, zero, zero_hin, no_loop, ehn, projn
 
         def self_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
+            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
             logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)  # (B, 1)
             d_le = L.bce_with_logits(logit, s_true[:, None]).mean()
-            return zero, d_le, zero_hin, s_true, eh  # window edges still absent
+            return zero, d_le, zero_hin, s_true, eh, proj_a  # window edges absent
 
         def edge_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(st.hidden, vi, axis=1, keepdims=False)
+            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
             eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
             e_logit = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
             e_true = jnp.stack(
@@ -693,21 +711,25 @@ def _elbo_loss_scan_tail(
                 axis=-1,
             )
             d_le = L.bce_with_logits(e_logit, e_true).mean(0).sum()
-            proj_vj = jax.lax.dynamic_index_in_dim(st.proj, vj, axis=1, keepdims=False)
+            proj_vj = jax.lax.dynamic_index_in_dim(proj_a, vj, axis=1, keepdims=False)
             h_new = h_acc + slot_contribution(
                 proj_vj, e_true[:, 0].astype(cdt), e_true[:, 1].astype(cdt), gate_b
             )
-            return zero, d_le, h_new, s_true, eh
+            return zero, d_le, h_new, s_true, eh, proj_a
 
-        d_lxi, d_le, h_new, s, eh = jax.lax.switch(
+        d_lxi, d_le, h_new, s, eh, proj_a = jax.lax.switch(
             t, [node_branch, self_branch, edge_branch], None
         )
-        st = _decode_propagate(params, st, vi, xi_true, h_new, s, wp, pw)
-        return (st, lxi + d_lxi, le + d_le, h_new, eh), None
+        hv = _propagate_list(params, xi_true, h_new, s, cdt, pw)
+        hid_a = jax.lax.dynamic_update_index_in_dim(hid_a, hv, vi, axis=1)
+        return (hid_a, proj_a, lxi + d_lxi, le + d_le, h_new, eh), None
 
+    hid_a0 = jnp.zeros((b, n, cfg.size_h), cdt).at[:, 0].set(st.hidden[:, 0])
+    proj_a0 = jnp.zeros((b, n, 4, cfg.size_h), cdt)
     body_fn = jax.checkpoint(body) if cfg.remat else body
-    (st, loss_xi, loss_e, _, _), _ = jax.lax.scan(
-        body_fn, (st, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin, eh0),
+    (_, _, loss_xi, loss_e, _, _), _ = jax.lax.scan(
+        body_fn,
+        (hid_a0, proj_a0, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin, eh0),
         (t_arr, vi_arr, vj_arr),
     )
     kld_w = _kld(mu, std) * w_kld
