@@ -304,32 +304,6 @@ def _node_caches(h, w1b, wp):
     return h @ w1b.T, (h @ wp.T).reshape(h.shape[0], 4, -1)
 
 
-def _decode_propagate(params, st, vi, x_vi, h_in, self_loop, wp, pw=None):
-    """One decode-direction propagate of node ``vi`` (model.py:151-198,
-    decode branch) given its aggregated message H_in: combiner GRU + self-loop
-    GRU.  H_in arrives as a *running sum* of slot contributions — during node
-    vi's refresh cadence the window masks change one slot per step (NODE/SELF
-    steps have no incident window edges), so callers accumulate
-    :func:`slot_contribution` terms instead of re-aggregating all 7 slots.
-    Inputs are cast to the state's compute dtype here.
-
-    ``pw`` (packed kernel weights) selects the fused Pallas execution of the
-    whole step (cfg.use_pallas)."""
-    cdt = st.proj.dtype
-    if pw is not None:
-        from dxvae_tpu.ops.fused_propagate import propagate_step
-
-        hv, proj = propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)
-        return PropState(
-            hidden=st.hidden.at[:, vi, :].set(hv),
-            proj=st.proj.at[:, vi, :, :].set(proj),
-        )
-    x_vi = x_vi.astype(cdt)
-    hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
-    hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
-    return st.write(vi, hv, wp)
-
-
 # --------------------------------------------------------------------------- #
 # autoregressive generation decoder
 # --------------------------------------------------------------------------- #
@@ -576,9 +550,8 @@ def elbo_loss(
     loss_e = jnp.zeros((), dt)
 
     if not cfg.unroll:
-        st = PropState.zeros(b, n, cfg.size_h, cdt).write(0, h0, wp)
         return _elbo_loss_scan_tail(
-            params, st, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true,
+            params, h0, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true,
             mu, std, weights, cfg,
         )
 
@@ -648,7 +621,7 @@ def _kld(mu, std):
 
 
 def _elbo_loss_scan_tail(
-    params, st, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true, mu, std, weights, cfg
+    params, h0, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true, mu, std, weights, cfg
 ):
     """Scan-execution tail of the teacher-forced loss: the per-node cadence as
     one lax.scan over the static NODE/SELF/EDGE step program (same math as the
@@ -656,7 +629,7 @@ def _elbo_loss_scan_tail(
     n = cfg.n_nodes
     b = X_true.shape[0]
     dt = X_true.dtype  # float32: elbo_loss normalizes before delegating here
-    cdt = st.proj.dtype
+    cdt = h0.dtype
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
     no_loop = jnp.zeros((b,), dt)
     zero_hin = jnp.zeros((b, cfg.size_h), cdt)
@@ -724,7 +697,7 @@ def _elbo_loss_scan_tail(
         hid_a = jax.lax.dynamic_update_index_in_dim(hid_a, hv, vi, axis=1)
         return (hid_a, proj_a, lxi + d_lxi, le + d_le, h_new, eh), None
 
-    hid_a0 = jnp.zeros((b, n, cfg.size_h), cdt).at[:, 0].set(st.hidden[:, 0])
+    hid_a0 = jnp.zeros((b, n, cfg.size_h), cdt).at[:, 0].set(h0)
     proj_a0 = jnp.zeros((b, n, 4, cfg.size_h), cdt)
     body_fn = jax.checkpoint(body) if cfg.remat else body
     (_, _, loss_xi, loss_e, _, _), _ = jax.lax.scan(
