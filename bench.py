@@ -42,6 +42,10 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from dxvae_tpu.data.dataset import DXDataset
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
 

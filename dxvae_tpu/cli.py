@@ -75,6 +75,9 @@ def forward_test(G, chk=None):
 
 
 def main(argv=None) -> int:
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
     p = argparse.ArgumentParser(prog="dxvae_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 

@@ -40,3 +40,18 @@ def timeit(fn, *args, warmup: int = 2, repeats: int = 5) -> dict:
         "mean_s": statistics.fmean(times),
         "repeats": repeats,
     }
+
+
+def enable_persistent_cache(path: str = "/tmp/dxvae_xla_cache") -> bool:
+    """Enable JAX's persistent compilation cache (cross-process): first
+    compiles of the big unrolled programs drop from minutes to seconds on
+    re-runs.  Must be called before any JAX computation; returns False if the
+    backends were already initialized."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return True
+    except Exception:
+        return False
