@@ -30,7 +30,7 @@ def main() -> int:
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
-    ap.add_argument("--repeats", type=int, default=3)  # per-K timing repeats
+    ap.add_argument("--repeats", type=int, default=4)  # per-K timing repeats
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
                     help="compute dtype; default bfloat16 mixed precision (quantizer "
                          "grids, thresholds, and the posterior stay float32 — decode "
@@ -51,6 +51,10 @@ def main() -> int:
 
     cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
+    if args.dtype == "bfloat16":
+        # pre-cast once: the in-jit master->bf16 cast is NOT loop-invariant-
+        # hoisted out of the chained fori, costing ~0.3 ms per iteration
+        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
 
     ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
                    include="synprez")
@@ -85,11 +89,11 @@ def main() -> int:
 
     float(run(params, X, adj, 1))  # compile once
     estimates = []
-    for _ in range(3):
+    for _ in range(5):
         t_lo, t_hi = timed(args.k_lo), timed(args.k_hi)
         estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
     estimates.sort()
-    per_iter = estimates[1]  # median of three two-K estimates
+    per_iter = estimates[len(estimates) // 2]  # median of five two-K estimates
     t_lo = t_hi = float("nan")
     pps = n / per_iter
 
@@ -104,7 +108,7 @@ def main() -> int:
         )
     )
     print(
-        f"# per-roundtrip {per_iter*1e3:.3f} ms (3 estimates: "
+        f"# per-roundtrip {per_iter*1e3:.3f} ms (estimates: "
         f"{[round(e*1e3, 3) for e in estimates]}) | batch {n} | dtype {args.dtype} | "
         f"devices {jax.devices()}",
         file=sys.stderr,
