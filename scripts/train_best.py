@@ -1,17 +1,35 @@
 """Beyond-reference training: cosine LR schedule + larger batch on the
-1024-patch baseline set, using the raw jitted train step directly."""
+1024-patch baseline set, using the raw jitted train step directly.
+
+Also supports model-size scaling studies, e.g. the 44M-parameter variant:
+    python scripts/train_best.py --size-h 1024 --size-z 256 --epochs 2000 \
+        --peak-lr 5e-4 --checkpoint /tmp/dx_h1024.npz
+(Finding: at this dataset size held-out reconstruction is data-limited —
+the 44M model matches the 12M model's generalization.)"""
+import argparse
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, optax
 
 from dxvae_tpu.data.dataset import DXDataset
-from dxvae_tpu.models import DXVAEConfig, LossWeights
+from dxvae_tpu.models import DXVAEConfig, LossWeights, param_count
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_train_step
 from dxvae_tpu.utils.checkpoint import save_checkpoint
+from dxvae_tpu.utils.profiling import enable_persistent_cache
 
-EPOCHS, BATCH, PEAK_LR = 5000, 128, 1e-3
-cfg = DXVAEConfig(unroll=True)  # fastest training path (182k patches/sec)
+enable_persistent_cache()
+ap = argparse.ArgumentParser()
+ap.add_argument("--epochs", type=int, default=5000)
+ap.add_argument("--batch", type=int, default=128)
+ap.add_argument("--peak-lr", type=float, default=1e-3)
+ap.add_argument("--size-h", type=int, default=512)
+ap.add_argument("--size-z", type=int, default=128)
+ap.add_argument("--checkpoint", default="checkpoints/dx_1024_best.npz")
+args = ap.parse_args()
+
+EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
+cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=0.002)
 
 ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_best_cache", include="synprez")
@@ -25,6 +43,7 @@ total_steps = EPOCHS * iters
 sched = optax.warmup_cosine_decay_schedule(0.0, PEAK_LR, 200, total_steps, PEAK_LR * 1e-2)
 opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
 state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
+print("params:", param_count(state.params))
 step = make_train_step(opt, cfg, weights)
 
 rng = np.random.default_rng(0)
@@ -41,6 +60,5 @@ for epoch in range(EPOCHS):
     if epoch % 500 == 0 or epoch == EPOCHS - 1:
         print(f"epoch {epoch}: loss {float(last['loss']):.4f} "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
-save_checkpoint("/tmp/dx_1024_best_state.npz", state)
-save_checkpoint("checkpoints/dx_1024_best.npz", state.params, params_only=True)
+save_checkpoint(args.checkpoint, state.params, params_only=True)
 print(f"done in {time.time()-t0:.0f}s; final loss {float(last['loss']):.4f}")
