@@ -40,7 +40,8 @@ n = len(ds)
 iters = n // BATCH
 total_steps = EPOCHS * iters
 
-sched = optax.warmup_cosine_decay_schedule(0.0, PEAK_LR, 200, total_steps, PEAK_LR * 1e-2)
+warmup = min(200, max(1, total_steps // 10))
+sched = optax.warmup_cosine_decay_schedule(0.0, PEAK_LR, warmup, total_steps, PEAK_LR * 1e-2)
 opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
 state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
 print("params:", param_count(state.params))

@@ -203,3 +203,31 @@ def test_algo_table_matches_reference_spec():
     for a in range(32):
         srcs, dsts = table[a]
         assert sorted(zip(srcs, dsts)) == sorted(ALGO_EDGES[a]), f"algorithm {a} mismatch"
+
+
+def test_pack_unpack_fuzz_property():
+    """Property: for ANY canonical parameter tensor (values on the DX7 grids),
+    pack -> unpack is the identity."""
+    rng = np.random.default_rng(42)
+    n = 256
+    highs_op = [99] + [99] * 8 + [31, 99, 14, 99, 99, 99, 3, 7, 7, 1, 3, 3]
+    p = np.zeros((n, 7, 21), np.int32)
+    for d, hi in enumerate(highs_op):
+        p[:, 1:, d] = rng.integers(0, hi + 1, (n, 6))
+    # fixed-mode coarse is canonical only in 0..3 (dxdata.py:204)
+    fixed = p[:, 1:, 18] == 1
+    p[:, 1:, 9] = np.where(fixed, p[:, 1:, 9] % 4, p[:, 1:, 9])
+    highs_glob = [99] * 8 + [48, 99, 99, 99, 99, 7, 7, 1, 1, 5, 31, 0, 0]
+    for d, hi in enumerate(highs_glob):
+        p[:, 0, d] = rng.integers(0, hi + 1, n)
+
+    raw = sysex.pack_voices(p)
+    p2, X2, adj2 = sysex.unpack_voices(raw)
+    np.testing.assert_array_equal(p2, p)
+    np.testing.assert_array_equal(adj2, ALGO_ADJ[p[:, 0, 18]].astype(adj2.dtype))
+    # and the native codec agrees
+    from dxvae_tpu.data import native
+
+    if native.available():
+        np.testing.assert_array_equal(native.pack_voices(p), raw)
+        np.testing.assert_array_equal(native.unpack_voices(raw)[0], p)

@@ -218,3 +218,22 @@ def test_remat_loss_matches(dataset):
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_train_divergence_abort(dataset, tmp_path):
+    """Failure detection: a diverging run (absurd LR) must raise and snapshot
+    the diverged state instead of overwriting the checkpoint."""
+    import pytest
+
+    from dxvae_tpu.api import DXVAE
+
+    model = DXVAE(seed=0)
+    ck = tmp_path / "good.npz"
+    with pytest.raises(FloatingPointError, match="non-finite"):
+        model.train(
+            dataset[:32], epochs=30, size_batch=32, lr=1e18,
+            checkpoint=str(ck), extra_epoch=False, shuffle_seed=0, n_data=1,
+            save_every=1000,
+        )
+    crashes = list(tmp_path.glob("*.diverged_epoch*.npz"))
+    assert crashes, "diverged-state snapshot not written"
