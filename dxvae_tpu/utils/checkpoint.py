@@ -174,3 +174,53 @@ def export_torch_state_dict(params) -> dict:
             sd[f"{head}.{2 * li}.weight"] = np.asarray(params[head][li]["w"])
             sd[f"{head}.{2 * li}.bias"] = np.asarray(params[head][li]["b"])
     return sd
+
+
+# --------------------------------------------------------------------------- #
+# orbax backend (optional)
+# --------------------------------------------------------------------------- #
+# The npz format above is the default (single-file, atomic, dependency-free).
+# For production serving stacks standardized on orbax, the same state can be
+# written/read as an orbax PyTree checkpoint directory.
+
+def save_checkpoint_orbax(path, state, params_only: bool = False) -> None:
+    """Save a TrainState (or bare params) as an orbax PyTree checkpoint."""
+    import orbax.checkpoint as ocp
+
+    if params_only or not hasattr(state, "params"):
+        tree = {"params": state if not hasattr(state, "params") else state.params}
+    else:
+        tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
+    tree = jax.tree.map(np.asarray, tree)
+    ocp.PyTreeCheckpointer().save(os.fspath(Path(path).absolute()), tree, force=True)
+
+
+def load_checkpoint_orbax(path, template):
+    """Restore from an orbax checkpoint into ``template``'s structure (a
+    TrainState or a params pytree); weights-only checkpoints restore params
+    only, like :func:`load_checkpoint`."""
+    import orbax.checkpoint as ocp
+
+    tree = ocp.PyTreeCheckpointer().restore(os.fspath(Path(path).absolute()))
+    has_opt = "opt_state" in tree
+
+    def like(template_tree, saved_tree):
+        leaves_t, treedef = jax.tree_util.tree_flatten(template_tree)
+        leaves_s = jax.tree_util.tree_leaves(saved_tree)
+        if len(leaves_t) != len(leaves_s):
+            raise ValueError(f"checkpoint leaf count {len(leaves_s)} != template {len(leaves_t)}")
+        casted = [
+            np.asarray(s).astype(np.asarray(t).dtype) for t, s in zip(leaves_t, leaves_s)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, casted)
+
+    if hasattr(template, "params"):
+        params = like(template.params, tree["params"])
+        if has_opt:
+            return template._replace(
+                params=params,
+                opt_state=like(template.opt_state, tree["opt_state"]),
+                step=np.asarray(tree.get("step", 0), np.int32),
+            )
+        return template._replace(params=params)
+    return like(template, tree["params"])

@@ -237,3 +237,30 @@ def test_train_divergence_abort(dataset, tmp_path):
         )
     crashes = list(tmp_path.glob("*.diverged_epoch*.npz"))
     assert crashes, "diverged-state snapshot not written"
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, dataset):
+    """Optional orbax backend: full-state save/restore matches the npz path."""
+    from dxvae_tpu.utils.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
+
+    X, P, adj = _batch(dataset, 8)
+    opt = make_optimizer(1e-3)
+    state = init_train_state(jax.random.PRNGKey(0), opt, CFG)
+    step = make_train_step(opt, CFG, donate=False)
+    state, _ = step(state, X, P, adj, jax.random.PRNGKey(1))
+
+    ck = tmp_path / "orbax_ck"
+    save_checkpoint_orbax(ck, state)
+    restored = load_checkpoint_orbax(ck, init_train_state(jax.random.PRNGKey(9), opt, CFG))
+    assert int(restored.step) == int(state.step)
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # weights-only mode
+    ck2 = tmp_path / "orbax_w"
+    save_checkpoint_orbax(ck2, state.params, params_only=True)
+    from dxvae_tpu.models import init_params
+
+    back = load_checkpoint_orbax(ck2, init_params(jax.random.PRNGKey(3), CFG))
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
