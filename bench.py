@@ -94,7 +94,6 @@ def main() -> int:
         estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
     estimates.sort()
     per_iter = estimates[len(estimates) // 2]  # median of five two-K estimates
-    t_lo = t_hi = float("nan")
     pps = n / per_iter
 
     print(

@@ -103,14 +103,30 @@ class DXVAE:
         self._encode_jit = jax.jit(lambda p, X, adj: _encode(p, X, adj, cfg)[:2])
         self._decode_jit = jax.jit(lambda p, z: _decode(p, z, cfg))
 
+        def _fwd(params, X, P, adj, key, w_env, w_frq, w_kld, training):
+            mu, std, st = _encode(params, X, adj, cfg)
+            return _elbo_loss(
+                params, mu, std, X, P, adj,
+                key=key, training=training,
+                weights=LossWeights(w_env, w_frq, w_kld), cfg=cfg, init_state=st,
+            )
+
+        # built once (not per call) so repeat forward() calls reuse the same
+        # compiled executable; loss weights are traced scalars, so varying
+        # them does not retrace either
+        self._forward_jit = jax.jit(_fwd, static_argnames=("training",))
+
     def to(self, device=None):
         """No-op for reference drop-in compatibility (main.py:14) — JAX arrays
         are placed by shardings, not module moves."""
         return self
 
     def eval(self):
-        """Reference quirk parity: the reference never leaves training mode
-        (its .train() is shadowed); provided for torch-style call sites."""
+        """Switch to evaluation mode: ``forward`` then uses the posterior mean
+        instead of rsampling, exactly like the reference's loss would if its
+        ``.eval()`` were ever reachable (model.py:283-286; its ``train()``
+        shadows ``nn.Module.train`` so reference code never leaves training
+        mode — call sites that never call eval() keep that parity here)."""
         self.training = False
         return self
 
@@ -174,21 +190,15 @@ class DXVAE:
 
     def forward(self, G_true: GraphBatch, w_env=2.0, w_frq=5.0, w_kld=0.01):
         """encode -> teacher-forced ELBO; returns (loss, lx0, lxi, le, kld)
-        (model.py:369-372).  Reference parity: always rsamples, because the
-        reference's ``self.training`` is always True (its .train() is shadowed
-        and .eval() never called — quirk ledger)."""
+        (model.py:369-372).  Honors ``self.training`` exactly as the
+        reference's loss does (model.py:283-286): rsample in training mode
+        (the reference default — its .eval() is unreachable), posterior mean
+        after ``.eval()``."""
         X, P, adj = self._as_arrays(G_true)
-        weights = LossWeights(w_env, w_frq, w_kld)
-        cfg = self.cfg
-
-        def f(params, X, P, adj, key):
-            mu, std, st = _encode(params, X, adj, cfg)
-            return _elbo_loss(
-                params, mu, std, X, P, adj,
-                key=key, training=True, weights=weights, cfg=cfg, init_state=st,
-            )
-
-        total, (lx0, lxi, le, kld) = jax.jit(f)(self.params, X, P, adj, self._next_key())
+        total, (lx0, lxi, le, kld) = self._forward_jit(
+            self.params, X, P, adj, self._next_key(),
+            w_env, w_frq, w_kld, training=self.training,
+        )
         return total, lx0, lxi, le, kld
 
     # -- training (model.py:374-391 semantics, TPU execution) ------------------
@@ -221,11 +231,30 @@ class DXVAE:
         A_all = np.asarray(G_true.adj, np.float32)
         n_samples = len(G_true)
         n_iters = n_samples // size_batch
+        if n_iters == 0:
+            # the reference loop would silently no-op here (model.py:377-382);
+            # fail loudly instead of training zero batches
+            raise ValueError(
+                f"n_samples={n_samples} < size_batch={size_batch}: zero iterations per "
+                "epoch (the remainder is dropped, matching the reference); lower size_batch"
+            )
 
         optimizer = make_optimizer(lr)
         state = init_train_state(self._next_key(), optimizer, self.cfg, params=self.params)
         step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
 
+        if n_data is None:
+            # auto: the largest device count that divides the batch, so
+            # device_put never sees an indivisible batch (a constraint the
+            # reference API did not have)
+            n_data = len(jax.devices())
+            while size_batch % n_data:
+                n_data -= 1
+        elif size_batch % n_data:
+            raise ValueError(
+                f"size_batch={size_batch} is not divisible by the data-parallel mesh "
+                f"size n_data={n_data}; pick a divisor (or n_data=1)"
+            )
         mesh = make_mesh(n_data=n_data)
         sharding = batch_sharding(mesh)
         log = MetricsLogger(metrics_csv)

@@ -18,6 +18,7 @@ import numpy as np
 
 from dxvae_tpu.api import DXVAE, DXDataset, graph_to_syx
 from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.utils.config import TrainConfig
 
 
 def print_data(G: GraphBatch) -> None:
@@ -81,19 +82,27 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="dxvae_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
+    # single source of knob defaults: the TrainConfig dataclass
+    dflt = TrainConfig()
+
     def common(sp, train=False):
-        sp.add_argument("--raw-dir", default="DX_data")
+        sp.add_argument("--raw-dir", default=dflt.raw_dir)
         sp.add_argument("--synprez-only", action="store_true",
                         help="restrict to the 1024-patch baseline subset")
-        sp.add_argument("--checkpoint", default="auto.chk.npz")
+        sp.add_argument("--checkpoint", default=dflt.checkpoint)
         if train:
-            sp.add_argument("--epochs", type=int, default=500)
-            sp.add_argument("--size-batch", type=int, default=32)
-            sp.add_argument("--lr", type=float, default=1e-3)
-            sp.add_argument("--w-env", type=float, default=2.0)
-            sp.add_argument("--w-frq", type=float, default=5.0)
-            sp.add_argument("--w-kld", type=float, default=0.01)
+            sp.add_argument("--config", default=None,
+                            help="JSON TrainConfig file; flags given on the "
+                                 "command line override it")
+            sp.add_argument("--epochs", type=int, default=None)
+            sp.add_argument("--size-batch", type=int, default=None)
+            sp.add_argument("--lr", type=float, default=None)
+            sp.add_argument("--w-env", type=float, default=None)
+            sp.add_argument("--w-frq", type=float, default=None)
+            sp.add_argument("--w-kld", type=float, default=None)
             sp.add_argument("--metrics-csv", default=None)
+            sp.add_argument("--n-data", type=int, default=None,
+                            help="data-parallel mesh size (default: auto)")
             sp.add_argument("--no-extra-epoch", action="store_true",
                             help="drop the reference's range(epochs+1) off-by-one")
 
@@ -132,12 +141,28 @@ def main(argv=None) -> int:
             args.checkpoint = None
 
     if args.cmd in ("train-new", "train-on"):
+        # resolve knobs: CLI flag > --config file > TrainConfig defaults
+        cfg = TrainConfig()
+        if args.config:
+            with open(args.config) as f:
+                cfg = TrainConfig.from_json(f.read())
+        for flag, field in (
+            ("epochs", "epochs"), ("size_batch", "size_batch"), ("lr", "lr"),
+            ("w_env", "w_env"), ("w_frq", "w_frq"), ("w_kld", "w_kld"),
+            ("metrics_csv", "metrics_csv"), ("n_data", "n_data"),
+        ):
+            v = getattr(args, flag)
+            if v is not None:
+                setattr(cfg, field, v)
+        if args.no_extra_epoch:
+            cfg.extra_epoch = False
         G = _load_graphs(args)
         fn = train_new if args.cmd == "train-new" else train_on
         fn(
-            G, args.checkpoint, args.epochs, args.size_batch, args.lr,
-            args.w_env, args.w_frq, args.w_kld,
-            metrics_csv=args.metrics_csv, extra_epoch=not args.no_extra_epoch,
+            G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,
+            cfg.w_env, cfg.w_frq, cfg.w_kld,
+            metrics_csv=cfg.metrics_csv, extra_epoch=cfg.extra_epoch,
+            n_data=cfg.n_data, save_every=cfg.save_every_epochs,
         )
     elif args.cmd == "decode-test":
         G = _load_graphs(args)

@@ -46,12 +46,14 @@ _LOG100 = np.float32(np.log(np.float32(100.0)))
 # file IO
 # --------------------------------------------------------------------------- #
 
-def read_syx(path: str | os.PathLike) -> np.ndarray:
+def read_syx(path: str | os.PathLike, verify_checksum: bool = False) -> np.ndarray:
     """Read one .syx bank file -> raw voice bytes ``(32, 128) uint8``.
 
-    Takes the first SysEx message in the file, strips the 5 header bytes and
-    the trailing checksum byte (the checksum is not verified, matching
-    dxdata.py:314-318).
+    Takes the first SysEx message in the file and strips the 5 header bytes
+    and the trailing checksum byte.  By default the checksum is not verified
+    (matching dxdata.py:314-318); ``verify_checksum=True`` additionally checks
+    the stored byte against the DX7 two's-complement sum and raises
+    ``ValueError`` on corruption.
     """
     blob = np.fromfile(os.fspath(path), dtype=np.uint8)
     starts = np.flatnonzero(blob == 0xF0)
@@ -67,6 +69,12 @@ def read_syx(path: str | os.PathLike) -> np.ndarray:
         raise ValueError(
             f"{path}: expected {VOICES_PER_BANK * VOICE_BYTES} voice bytes, got {payload.size}"
         )
+    if verify_checksum:
+        stored, computed = int(data[-1]), dx7_checksum(payload)
+        if stored != computed:
+            raise ValueError(
+                f"{path}: checksum mismatch (stored 0x{stored:02x}, computed 0x{computed:02x})"
+            )
     return payload.reshape(VOICES_PER_BANK, VOICE_BYTES).copy()
 
 

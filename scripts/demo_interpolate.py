@@ -43,11 +43,16 @@ def main():
     # write banks of 32 (pad the last by repeating the final patch)
     n_banks = -(-args.steps // 32)
     for k in range(n_banks):
-        sl = G.params[k * 32 : (k + 1) * 32]
-        if len(sl) < 32:
-            sl = np.concatenate([sl, np.repeat(sl[-1:], 32 - len(sl), axis=0)])
+        win = slice(k * 32, (k + 1) * 32)
+
+        def pad32(a):
+            a = a[win]
+            if len(a) < 32:
+                a = np.concatenate([a, np.repeat(a[-1:], 32 - len(a), axis=0)])
+            return a
+
         out = args.out if n_banks == 1 else args.out.replace(".syx", f"_{k}.syx")
-        graph_to_syx(GraphBatch(G.X[:32], sl, G.adj[:32]), out)
+        graph_to_syx(GraphBatch(pad32(G.X), pad32(G.params), pad32(G.adj)), out)
         print(f"wrote {out}")
 
     # summarize how the topology morphs along the path

@@ -1,0 +1,45 @@
+"""TrainConfig: the single source of training-knob defaults (SURVEY.md §5
+config system) — JSON round-trip and CLI wiring."""
+
+import json
+
+from dxvae_tpu.utils.config import TrainConfig
+
+
+def test_json_roundtrip():
+    cfg = TrainConfig(epochs=7, lr=3e-4, w_kld=0.002, n_data=2, metrics_csv="m.csv")
+    cfg2 = TrainConfig.from_json(cfg.to_json())
+    assert cfg2 == cfg
+
+
+def test_defaults_match_reference_recipe():
+    """Defaults mirror the reference kwargs (model.py:374, main.py:12-21)."""
+    cfg = TrainConfig()
+    assert (cfg.epochs, cfg.size_batch, cfg.lr) == (500, 32, 1e-3)
+    assert (cfg.w_env, cfg.w_frq, cfg.w_kld) == (2.0, 5.0, 0.01)
+    assert cfg.extra_epoch  # range(epochs + 1) quirk kept by default
+
+
+def test_cli_defaults_come_from_dataclass(tmp_path, monkeypatch):
+    """The CLI resolves knobs as flag > --config file > dataclass defaults."""
+    import dxvae_tpu.cli as cli
+
+    captured = {}
+
+    def fake_train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
+        captured.update(epochs=epochs, size_batch=size_batch, lr=lr,
+                        w_env=w_env, w_frq=w_frq, w_kld=w_kld, **kw)
+
+    monkeypatch.setattr(cli, "train_new", fake_train_new)
+    monkeypatch.setattr(cli, "_load_graphs", lambda args: None)
+
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(TrainConfig(epochs=9, lr=5e-4).to_json())
+    cli.main([
+        "train-new", "--config", str(cfg_file), "--lr", "2e-4",
+        "--checkpoint", str(tmp_path / "c.npz"),
+    ])
+    assert captured["epochs"] == 9          # from config file
+    assert captured["lr"] == 2e-4           # flag overrides file
+    assert captured["size_batch"] == 32     # dataclass default
+    assert captured["w_kld"] == 0.01

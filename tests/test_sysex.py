@@ -231,3 +231,32 @@ def test_pack_unpack_fuzz_property():
     if native.available():
         np.testing.assert_array_equal(native.pack_voices(p), raw)
         np.testing.assert_array_equal(native.unpack_voices(raw)[0], p)
+
+
+def test_read_syx_verify_checksum_all_banks(bank_files):
+    """All 33 shipped banks carry valid DX7 two's-complement checksums; the
+    verify_checksum read mode accepts every one of them."""
+    for f in bank_files:
+        sysex.read_syx(f, verify_checksum=True)
+
+
+def test_read_syx_verify_checksum_detects_corruption(bank_files, tmp_path):
+    blob = np.fromfile(bank_files[0], dtype=np.uint8)
+    blob[100] ^= 0x01  # flip one payload bit
+    bad = tmp_path / "corrupt.syx"
+    blob.tofile(bad)
+    sysex.read_syx(bad)  # default mode stays permissive (reference parity)
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        sysex.read_syx(bad, verify_checksum=True)
+
+
+def test_reference_generated_bank_fails_verification():
+    """The reference's own generated bank hardcodes checksum 0x58
+    (dxdata.py:344) and is NOT a valid DX7 dump — verify mode catches it."""
+    from pathlib import Path
+
+    gen = Path("/root/reference/generated/gen_patch.syx")
+    if not gen.exists():
+        pytest.skip("reference generated bank not mounted")
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        sysex.read_syx(gen, verify_checksum=True)
