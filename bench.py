@@ -31,11 +31,13 @@ def main() -> int:
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--repeats", type=int, default=4)  # per-K timing repeats
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"],
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "bfloat16_mixed"],
                     help="compute dtype; default bfloat16 mixed precision (quantizer "
                          "grids, thresholds, and the posterior stay float32 — decode "
                          "decisions match f32 on 99.7%% of params). --dtype float32 "
-                         "for reference-parity numerics")
+                         "for reference-parity numerics; bfloat16_mixed keeps f32 "
+                         "activation islands (training-quality mode)")
     ap.add_argument("--scan", action="store_true", help="use the scan execution path")
     args = ap.parse_args()
 
@@ -55,6 +57,15 @@ def main() -> int:
         # pre-cast once: the in-jit master->bf16 cast is NOT loop-invariant-
         # hoisted out of the chained fori, costing ~0.3 ms per iteration
         params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    elif args.dtype == "bfloat16_mixed":
+        # matrices to bf16 except the GRU recurrence matrices (see
+        # models.dxvae._compute_params)
+        params = jax.tree_util.tree_map_with_path(
+            lambda p, a: a.astype(jnp.bfloat16)
+            if a.ndim >= 2 and getattr(p[-1], "key", None) != "w_hh"
+            else a,
+            params,
+        )
 
     ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
                    include="synprez")

@@ -46,11 +46,12 @@ from dxvae_tpu.ops.propagate import (
 class DXVAEConfig(NamedTuple):
     """Hyperparameters (reference ctor defaults, model.py:11).
 
-    ``unroll``: execution strategy for the 41-step recurrence.  False (default)
-    runs it as ``lax.scan`` over a static step program — ~10x smaller XLA graph
-    and far faster compiles, identical math.  True fully unrolls in Python,
-    letting XLA see the whole graph (marginally better step fusion, much
-    slower compile).  Both paths are tested to agree.
+    ``unroll``: execution strategy for the decoder's edge cadence (the 6-node
+    loop is always Python-unrolled with list-of-arrays state).  False
+    (default) runs each node's edge steps as a branch-free ``lax.scan`` —
+    smaller XLA graph, faster compiles, and a standard scan VJP.  True inlines
+    the 21 edge steps too, letting XLA see the whole graph (best step fusion,
+    slowest compile).  Both paths are tested to agree exactly.
     """
 
     n_nodes: int = 7
@@ -69,10 +70,12 @@ class DXVAEConfig(NamedTuple):
     # trades one extra forward per step for not storing per-step activations —
     # relevant for very large batches
     remat: bool = False
-    # "float32" (reference-parity numerics) or "bfloat16" (mixed precision:
-    # the GRU/aggregation/head recurrence runs in bf16 on the MXU, while
-    # master weights, quantizer grids, thresholds, losses, and the posterior
-    # stay float32)
+    # "float32" (reference-parity numerics); "bfloat16" (everything in the
+    # recurrence — weights, state, gates — runs bf16 on the MXU; quantizer
+    # grids, thresholds, losses, posterior stay f32); or "bfloat16_mixed"
+    # (bf16 weights/matmul flops but float32 activation islands — the GRU
+    # hidden state, gates and aggregations accumulate in f32 — closing the
+    # bf16 convergence gap at most of its speed, docs/PERF.md)
     compute_dtype: str = "float32"
 
 
@@ -129,7 +132,10 @@ def _dtypes(cfg: DXVAEConfig, ref_dtype):
 
     float32 mode preserves the caller's dtype (so float64 parity runs stay
     float64 end to end); bfloat16 mode computes the recurrence in bf16 and
-    keeps outputs/losses in float32.
+    keeps outputs/losses in float32; bfloat16_mixed keeps all *activations*
+    (GRU state, gates, aggregations) in the caller's dtype and only the
+    weights/matmuls in bf16 (see :func:`layers.matmul_wT`) — near-f32
+    convergence at bf16 matmul rates.
     """
     if cfg.compute_dtype == "bfloat16":
         return jnp.bfloat16, jnp.float32
@@ -137,26 +143,47 @@ def _dtypes(cfg: DXVAEConfig, ref_dtype):
 
 
 def _compute_params(params, cfg: DXVAEConfig):
-    """Cast the parameter pytree to the compute dtype (no-op unless bf16).
+    """Cast the parameter pytree to the compute dtype (no-op in f32 mode).
     Master params keep their dtype; under autodiff the cast transposes to a
-    cast-back, giving full-precision gradients — standard mixed precision."""
-    if cfg.compute_dtype != "bfloat16":
-        return params
-    return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    cast-back, giving full-precision gradients — standard mixed precision.
+
+    bfloat16_mixed casts the matrices except the GRU recurrence matrices
+    ``w_hh``; biases stay full precision too.  Measured (docs/PERF.md
+    precision study): w_hh rounding is essentially the *entire* bf16
+    convergence gap — keeping just those six (H, 3H) matrices f32 trains to
+    within ~1% of full f32 at ~1.3x its speed, while rounding them costs 27%+
+    final loss."""
+    if cfg.compute_dtype == "bfloat16":
+        return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    if cfg.compute_dtype == "bfloat16_mixed":
+
+        def cast(path, a):
+            name = getattr(path[-1], "key", None)
+            if a.ndim >= 2 and name != "w_hh":
+                return a.astype(jnp.bfloat16)
+            return a
+
+        return jax.tree_util.tree_map_with_path(cast, params)
+    return params
 
 
 # --------------------------------------------------------------------------- #
-# step program (scan execution strategy)
+# execution strategies
 # --------------------------------------------------------------------------- #
-# The decoder's 33 refreshes are a *static* program over step types:
-#   NODE(vi):     predict/teacher-force node vi's features, propagate
-#   SELF(vi):     self-loop decision, propagate
-#   EDGE(vi, vj): in/out edge pair decision vs vj, propagate
-# Running it as lax.scan over the descriptor arrays (with lax.switch on the
-# type) compiles ONE propagate body + three small head branches instead of 33
-# inlined copies — ~10x smaller XLA graph, no redundant compute.
-
-STEP_NODE, STEP_SELF, STEP_EDGE = 0, 1, 2
+# The decoder's 33 refreshes are a static cadence: for vi in 1..6 —
+#   NODE(vi): predict/teacher-force node vi's features, propagate
+#   SELF(vi): self-loop decision, propagate
+#   EDGE(vi, vj = vi-1..0): in/out edge pair decision, propagate
+# Both execution strategies Python-unroll the 6-node loop (NODE/SELF inline,
+# list-of-arrays state: static indexing, no dynamic-update-slice traffic) and
+# differ only in the uniform EDGE cadence: ``unroll=True`` inlines the 21 edge
+# steps (maximum fusion, slowest compile); ``unroll=False`` runs each node's
+# edge steps as one lax.scan with the per-step inputs (cached projections,
+# edge-head halves, targets) pre-stacked as scan xs — a branch-free body with
+# a standard scan VJP.  (An earlier design ran all 33 steps as one scan with
+# lax.switch over the step type; its backward serialized pathologically —
+# 6.7x slower training — because every branch contributes residuals at every
+# step.  docs/PERF.md "Scan-path restructure".)
 
 
 def _edge_head_split(params):
@@ -173,23 +200,8 @@ def _edge_head_split(params):
 
 
 def _edge_logits(params, h_vi, eh_vj, w1a, b1):
-    l0 = h_vi @ w1a.T + eh_vj + b1
+    l0 = L.matmul_wT(h_vi, w1a) + eh_vj + b1
     return L.linear(params["h_to_edge"][1], jax.nn.relu(l0))
-
-
-def _decode_step_program(n_nodes: int):
-    """Static (type, vi, vj) descriptor arrays for the decode cadence
-    (model.py:226-251): for vi in 1..n-1: NODE, SELF, EDGE(vi, vi-1..0)."""
-    t, vi, vj = [], [], []
-    for v in range(1, n_nodes):
-        t += [STEP_NODE, STEP_SELF] + [STEP_EDGE] * v
-        vi += [v] * (v + 2)
-        vj += [0, 0] + list(range(v - 1, -1, -1))
-    return (
-        np.asarray(t, np.int32),
-        np.asarray(vi, np.int32),
-        np.asarray(vj, np.int32),
-    )
 
 
 # --------------------------------------------------------------------------- #
@@ -243,7 +255,7 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
                 x_loop = X[:, v] * adj[:, v, v][:, None]  # features iff self-loop
                 hv = L.gru(params["enc_looper"], x_loop, hv)
             hid[v] = hv
-            proj[v] = (hv @ wp.T).reshape(b, 4, h)
+            proj[v] = L.matmul_wT(hv, wp).reshape(b, 4, h)
         st = PropState(
             hidden=jnp.stack(hid, axis=1), proj=jnp.stack(proj, axis=1)
         )
@@ -301,7 +313,7 @@ def _node_caches(h, w1b, wp):
     """Per-node cache computation for a *finalized* hidden state:
     (edge-head half, projection rows).  Computed once per node — a node's
     caches are only ever read after its whole refresh cadence finishes."""
-    return h @ w1b.T, (h @ wp.T).reshape(h.shape[0], 4, -1)
+    return L.matmul_wT(h, w1b), L.matmul_wT(h, wp).reshape(h.shape[0], 4, -1)
 
 
 # --------------------------------------------------------------------------- #
@@ -339,131 +351,90 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     no_loop = jnp.zeros((b,), dt)
     gate_b = params["gate"]["b"]
     w1a, w1b, b1 = _edge_head_split(params)
-    node_ids = np.arange(n)
 
-    if cfg.unroll:
-        # list-of-arrays state (static node indices, no dynamic-update-slice);
-        # per-node caches (edge-head half + projections) computed lazily —
-        # once per finalized node, fused into one matmul (_node_caches)
-        hid = [None] * n
-        proj = [None] * n
-        ehl = [None] * n
-        hid[0] = h0
-        Xl = [None] * n
-        Pl = [None] * n
-        adj_self = [jnp.zeros((b,), dt) for _ in range(n)]
-        adj_in = [[None] * n for _ in range(n)]   # adj_in[j][i] = edge j -> i
-        Xl[0], Pl[0] = x0, p0
-        for vi in range(1, n):
-            # node vi-1's hidden is now final: compute its caches once
-            ehl[vi - 1], proj[vi - 1] = _node_caches(hid[vi - 1], w1b, wp)
-            # predict node vi's features from node vi-1's (final) hidden state
-            xi_raw = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
-            xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
-            Xl[vi], Pl[vi] = xi, pi
+    # list-of-arrays state (static node indices, no dynamic-update-slice);
+    # per-node caches (edge-head half + projections) computed lazily —
+    # once per finalized node, fused into one matmul (_node_caches)
+    hid_prev = h0
+    ehl: list = []
+    projl: list = []
+    Xl = [x0]
+    Pl = [p0]
+    adj_self = [jnp.zeros((b,), dt)]
+    adj_in = [[None] * n for _ in range(n)]   # adj_in[j][i] = edge j -> i
+    for vi in range(1, n):
+        # node vi-1's hidden is now final: compute its caches once
+        eh_row, proj_row = _node_caches(hid_prev, w1b, wp)
+        ehl.append(eh_row)
+        projl.append(proj_row)
+        # predict node vi's features from node vi-1's (final) hidden state
+        xi_raw = L.mlp(params["h_to_x"], hid_prev).astype(dt)
+        xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
+        Xl.append(xi)
+        Pl.append(pi)
 
-            # propagate with no incident edges yet (H_in = 0)
-            hid[vi] = _propagate_list(params, xi, zero_hin, no_loop, cdt, pw)
+        # propagate with no incident edges yet (H_in = 0)
+        hv = _propagate_list(params, xi, zero_hin, no_loop, cdt, pw)
 
-            # self-loop decision, then re-propagate (model.py:236-240);
-            # window edges still absent, so H_in stays 0
-            s_logit = L.mlp(params["h_to_edge_self"], hid[vi]).astype(dt)
-            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
-            adj_self[vi] = s
-            hid[vi] = _propagate_list(params, xi, zero_hin, s, cdt, pw)
+        # self-loop decision, then re-propagate (model.py:236-240);
+        # window edges still absent, so H_in stays 0
+        s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
+        s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
+        adj_self.append(s)
+        hv = _propagate_list(params, xi, zero_hin, s, cdt, pw)
 
-            # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
-            # exactly one window slot, so H_in accumulates incrementally
+        # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
+        # exactly one window slot, so H_in accumulates incrementally
+        order = list(range(vi - 1, -1, -1))
+        if cfg.unroll:
             h_acc = zero_hin
-            for vj in range(vi - 1, -1, -1):
-                e = _edge_logits(params, hid[vi], ehl[vj], w1a, b1).astype(dt)
+            for vj in order:
+                e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
                 e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
                 e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
                 adj_in[vj][vi] = e_in
                 adj_in[vi][vj] = e_out
                 h_acc = h_acc + slot_contribution(
-                    proj[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
+                    projl[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                hid[vi] = _propagate_list(params, xi, h_acc, s, cdt, pw)
-        # assemble dense outputs once
-        X = jnp.stack(Xl, axis=1)
-        P = jnp.stack(Pl, axis=1)
-        rows = []
-        for i in range(n):
-            cols = [
-                adj_self[i] if j == i else (adj_in[i][j] if adj_in[i][j] is not None
-                                            else jnp.zeros((b,), dt))
-                for j in range(n)
-            ]
-            rows.append(jnp.stack(cols, axis=1))
-        adj = jnp.stack(rows, axis=1)
-        return X, P, adj
-
-    # scan execution: one body (switch over NODE/SELF/EDGE) over the 33-step
-    # static program — same math, ~10x smaller XLA graph
-    ids = jnp.asarray(node_ids)
-    t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
-
-    hid_a = jnp.zeros((b, n, h), cdt).at[:, 0].set(h0)
-    proj_a = jnp.zeros((b, n, 4, h), cdt)  # rows filled lazily per finalized node
-    X = jnp.zeros((b, n, cfg.size_x), dt).at[:, 0].set(x0)
-    P = jnp.zeros((b, n, cfg.n_params), dt).at[:, 0].set(p0)
-    adj = jnp.zeros((b, n, n), dt)
-    eh = jnp.zeros((b, n, w1a.shape[0]), cdt)  # cached Hj @ W1b.T per node
-
-    def body(carry, step):
-        hid_a, proj_a, X, P, adj, h_acc, eh = carry
-        t, vi, vj = step
-
-        def node_branch(_):
-            # node vi-1's hidden is final: compute its caches once (fused)
-            h_prev = jax.lax.dynamic_index_in_dim(hid_a, vi - 1, axis=1, keepdims=False)
-            eh_row, proj_row = _node_caches(h_prev, w1b, wp)
-            ehn = jax.lax.dynamic_update_index_in_dim(eh, eh_row, vi - 1, axis=1)
-            projn = jax.lax.dynamic_update_index_in_dim(proj_a, proj_row, vi - 1, axis=1)
-            xi_raw = L.mlp(params["h_to_x"], h_prev).astype(dt)
-            xi, pi = reg_xi(xi_raw, cfg.strict_parity, cfg.n_params)
-            Xn = jax.lax.dynamic_update_index_in_dim(X, xi, vi, axis=1)
-            Pn = jax.lax.dynamic_update_index_in_dim(P, pi, vi, axis=1)
-            return Xn, Pn, adj, zero_hin, no_loop, ehn, projn  # reset H_in sum
-
-        def self_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
-            s_logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)
-            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
-            onehot_vi = (ids == vi).astype(dt)
-            adjn = adj + s[:, None, None] * (onehot_vi[:, None] * onehot_vi[None, :])
-            return X, P, adjn, zero_hin, s, eh, proj_a  # window edges still absent
-
-        def edge_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
-            eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
-            e = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
-            e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
-            e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
-            oh_i = (ids == vi).astype(dt)
-            oh_j = (ids == vj).astype(dt)
-            adjn = adj + e_in[:, None, None] * (oh_j[:, None] * oh_i[None, :]) \
-                       + e_out[:, None, None] * (oh_i[:, None] * oh_j[None, :])
-            row = jax.lax.dynamic_index_in_dim(adjn, vi, axis=1, keepdims=False)
-            s = jax.lax.dynamic_index_in_dim(row, vi, axis=1, keepdims=False)
-            proj_vj = jax.lax.dynamic_index_in_dim(proj_a, vj, axis=1, keepdims=False)
-            h_new = h_acc + slot_contribution(
-                proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+                hv = _propagate_list(params, xi, h_acc, s, cdt, pw)
+        else:
+            # branch-free edge scan: per-step inputs pre-stacked as xs
+            xs = (
+                jnp.stack([ehl[j] for j in order]),
+                jnp.stack([projl[j] for j in order]),
             )
-            return X, P, adjn, h_new, s, eh, proj_a
 
-        X, P, adj, h_acc, s, eh, proj_a = jax.lax.switch(
-            t, [node_branch, self_branch, edge_branch], None
-        )
-        xv = jax.lax.dynamic_index_in_dim(X, vi, axis=1, keepdims=False)
-        hv = _propagate_list(params, xv, h_acc, s, cdt, pw)
-        hid_a = jax.lax.dynamic_update_index_in_dim(hid_a, hv, vi, axis=1)
-        return (hid_a, proj_a, X, P, adj, h_acc, eh), None
+            def edge_body(carry, x, xi=xi, s=s):
+                hv, h_acc = carry
+                eh_vj, proj_vj = x
+                e = _edge_logits(params, hv, eh_vj, w1a, b1).astype(dt)
+                e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
+                e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
+                h_acc = h_acc + slot_contribution(
+                    proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+                )
+                hv = _propagate_list(params, xi, h_acc, s, cdt, pw)
+                return (hv, h_acc), (e_in, e_out)
 
-    (_, _, X, P, adj, _, _), _ = jax.lax.scan(
-        body, (hid_a, proj_a, X, P, adj, zero_hin, eh), (t_arr, vi_arr, vj_arr)
-    )
+            (hv, _), (e_ins, e_outs) = jax.lax.scan(edge_body, (hv, zero_hin), xs)
+            for k, vj in enumerate(order):
+                adj_in[vj][vi] = e_ins[k]
+                adj_in[vi][vj] = e_outs[k]
+        hid_prev = hv
+
+    # assemble dense outputs once
+    X = jnp.stack(Xl, axis=1)
+    P = jnp.stack(Pl, axis=1)
+    rows = []
+    for i in range(n):
+        cols = [
+            adj_self[i] if j == i else (adj_in[i][j] if adj_in[i][j] is not None
+                                        else jnp.zeros((b,), dt))
+            for j in range(n)
+        ]
+        rows.append(jnp.stack(cols, axis=1))
+    adj = jnp.stack(rows, axis=1)
     return X, P, adj
 
 
@@ -549,26 +520,76 @@ def elbo_loss(
     loss_xi = jnp.zeros((), dt)
     loss_e = jnp.zeros((), dt)
 
-    if not cfg.unroll:
-        return _elbo_loss_scan_tail(
-            params, h0, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true,
-            mu, std, weights, cfg,
-        )
-
-    # list-of-arrays state (static node indices, no dynamic-update-slice);
-    # per-node caches computed lazily, once per finalized node
+    # Teacher forcing breaks the decoder's recurrence WITHIN a node's refresh
+    # cadence: every refresh of node vi consumes H_in built purely from
+    # teacher-forced edges and the (frozen) cached projections of earlier
+    # nodes — never from vi's own evolving hidden state.  So (unroll=False,
+    # the default) the vi+2 refreshes are computed as ONE batched GRU
+    # evaluation over a (B, vi+2) step axis (H_in per refresh = a prefix sum
+    # of slot contributions), and all vi edge logits batch likewise —
+    # sequential matmul depth per forward drops from 40 propagates to
+    # 7 encode steps + 6 batched node groups.  (An earlier lax.scan-with-
+    # lax.switch formulation trained at 26k patches/sec because of its
+    # pathological backward; the batched form measures 127k.)
+    #
+    # unroll=True instead inlines the sequential 33-step cadence — measured
+    # fastest for training (185k patches/sec at batch 1024 bf16): XLA
+    # pipelines the small steps and CSEs the per-node xi @ W_ih products,
+    # while the batched form pays for its (B, S, H) intermediates.  Both are
+    # tested equal (test_scan_equals_unrolled) and f64-verified against the
+    # reference executing verbatim.  docs/PERF.md "Loss execution strategies".
     w1a, w1b, b1 = _edge_head_split(params)
-    hid = [None] * n
-    proj = [None] * n
-    ehl = [None] * n
-    hid[0] = h0
+    hid_prev = h0
+    ehl: list = []
+    projl: list = []
+    gate_b = params["gate"]["b"]
     no_loop = jnp.zeros((b,), dt)
     zero_hin = jnp.zeros((b, cfg.size_h), cdt)
-    gate_b = params["gate"]["b"]
+
+    def node_cadence(xi_true, s_true, tins, touts, projs, ehs):
+        """All vi+2 refreshes + self/edge logits of one node, batched.
+
+        Refresh r=0 (NODE) and r=1 (SELF) see no incident window edges
+        (H_in = 0); refresh r=2+k sees the teacher-forced edges vs
+        vj = vi-1 .. vi-1-k (a prefix sum).  The self logit reads refresh 0;
+        the edge logit vs the k-th vj reads refresh k+1; refresh vi+1 is the
+        node's final hidden state (model.py:311-363 cadence).
+        """
+        b_, v = tins.shape
+        s = v + 2
+        c = slot_contribution(projs, tins.astype(cdt), touts.astype(cdt), gate_b)
+        h_acc = jnp.cumsum(c, axis=1)                                  # (B, vi, H)
+        h_in = jnp.concatenate(
+            [jnp.zeros((b_, 2, cfg.size_h), cdt), h_acc], axis=1
+        )                                                              # (B, S, H)
+        s_seq = jnp.concatenate(
+            [jnp.zeros((b_, 1), dt), jnp.broadcast_to(s_true[:, None], (b_, s - 1))],
+            axis=1,
+        )
+        x_seq = jnp.broadcast_to(xi_true[:, None, :], (b_, s, xi_true.shape[-1]))
+        hv_all = _propagate_list(
+            params,
+            x_seq.reshape(b_ * s, -1),
+            h_in.reshape(b_ * s, -1),
+            s_seq.reshape(b_ * s),
+            cdt,
+            pw,
+        ).reshape(b_, s, cfg.size_h)
+        self_logit = L.mlp(params["h_to_edge_self"], hv_all[:, 0]).astype(dt)
+        d_le = L.bce_with_logits(self_logit, s_true[:, None]).mean()
+        e_logit = _edge_logits(params, hv_all[:, 1 : s - 1], ehs, w1a, b1).astype(dt)
+        e_true = jnp.stack([tins, touts], axis=-1)                     # (B, vi, 2)
+        d_le = d_le + L.bce_with_logits(e_logit, e_true).mean(0).sum()
+        return hv_all[:, -1], d_le
+
+    if cfg.remat:
+        node_cadence = jax.checkpoint(node_cadence)
 
     for vi in range(1, n):
-        ehl[vi - 1], proj[vi - 1] = _node_caches(hid[vi - 1], w1b, wp)
-        xi_pred = L.mlp(params["h_to_x"], hid[vi - 1]).astype(dt)
+        eh_row, proj_row = _node_caches(hid_prev, w1b, wp)
+        ehl.append(eh_row)
+        projl.append(proj_row)
+        xi_pred = L.mlp(params["h_to_x"], hid_prev).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
 
@@ -582,32 +603,40 @@ def elbo_loss(
             + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
         )
 
-        # teacher-force node vi, propagate with no incident edges (H_in = 0)
-        hid[vi] = _propagate_list(params, xi_true, zero_hin, no_loop, cdt, pw)
-
-        # self-loop: predict from Hi, teacher-force true loop, re-propagate
-        # (window edges still absent, H_in stays 0)
-        self_logit = L.mlp(params["h_to_edge_self"], hid[vi]).astype(dt)  # (B, 1)
-        self_true = adj_true[:, vi, vi][:, None]
-        loss_e = loss_e + L.bce_with_logits(self_logit, self_true).mean()
-
+        order = list(range(vi - 1, -1, -1))
         s_true = adj_true[:, vi, vi]
-        hid[vi] = _propagate_list(params, xi_true, zero_hin, s_true, cdt, pw)
-
-        # in/out edges vs vj = vi-1 .. 0: predict, teacher-force, re-propagate;
-        # each teacher-forced pair enables one window slot -> H_in accumulates
-        h_acc = zero_hin
-        for vj in range(vi - 1, -1, -1):
-            e_logit = _edge_logits(params, hid[vi], ehl[vj], w1a, b1).astype(dt)
-            e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
-            loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
-            h_acc = h_acc + slot_contribution(
-                proj[vj],
-                adj_true[:, vj, vi].astype(cdt),
-                adj_true[:, vi, vj].astype(cdt),
-                gate_b,
+        if cfg.unroll:
+            # sequential cadence: teacher-force node vi, propagate with no
+            # incident edges, self-loop decision + re-propagate, then one
+            # propagate per teacher-forced edge pair (H_in accumulates one
+            # window slot at a time)
+            hv = _propagate_list(params, xi_true, zero_hin, no_loop, cdt, pw)
+            self_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
+            loss_e = loss_e + L.bce_with_logits(self_logit, s_true[:, None]).mean()
+            hv = _propagate_list(params, xi_true, zero_hin, s_true, cdt, pw)
+            h_acc = zero_hin
+            for vj in order:
+                e_logit = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
+                e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
+                loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
+                h_acc = h_acc + slot_contribution(
+                    projl[vj],
+                    adj_true[:, vj, vi].astype(cdt),
+                    adj_true[:, vi, vj].astype(cdt),
+                    gate_b,
+                )
+                hv = _propagate_list(params, xi_true, h_acc, s_true, cdt, pw)
+            hid_prev = hv
+        else:
+            hid_prev, d_le = node_cadence(
+                xi_true,
+                s_true,
+                jnp.stack([adj_true[:, j, vi] for j in order], axis=1),
+                jnp.stack([adj_true[:, vi, j] for j in order], axis=1),
+                jnp.stack([projl[j] for j in order], axis=1),
+                jnp.stack([ehl[j] for j in order], axis=1),
             )
-            hid[vi] = _propagate_list(params, xi_true, h_acc, s_true, cdt, pw)
+            loss_e = loss_e + d_le
 
     # KL(p || q) with p = N(0, 1) — reversed direction kept (model.py:365)
     kld_w = _kld(mu, std) * w_kld
@@ -618,96 +647,6 @@ def elbo_loss(
 def _kld(mu, std):
     """KL(N(0,1) || N(mu, std)), batch-mean / latent-sum (model.py:365)."""
     return (jnp.log(std) + (1.0 + mu**2) / (2.0 * std**2) - 0.5).mean(0).sum()
-
-
-def _elbo_loss_scan_tail(
-    params, h0, wp, pw, x0_pred, loss_x0, X_true, params_true, adj_true, mu, std, weights, cfg
-):
-    """Scan-execution tail of the teacher-forced loss: the per-node cadence as
-    one lax.scan over the static NODE/SELF/EDGE step program (same math as the
-    unrolled path, compiled once)."""
-    n = cfg.n_nodes
-    b = X_true.shape[0]
-    dt = X_true.dtype  # float32: elbo_loss normalizes before delegating here
-    cdt = h0.dtype
-    w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
-    no_loop = jnp.zeros((b,), dt)
-    zero_hin = jnp.zeros((b, cfg.size_h), cdt)
-    zero = jnp.zeros((), dt)
-    gate_b = params["gate"]["b"]
-    w1a, w1b, b1 = _edge_head_split(params)
-    eh0 = jnp.zeros((b, n, w1a.shape[0]), cdt)
-    mse = lambda a, t: (a - t) ** 2
-    t_arr, vi_arr, vj_arr = (jnp.asarray(a) for a in _decode_step_program(n))
-
-    def body(carry, step):
-        hid_a, proj_a, lxi, le, h_acc, eh = carry
-        t, vi, vj = step
-        xi_true = jax.lax.dynamic_index_in_dim(X_true, vi, axis=1, keepdims=False)
-        pi_true = jax.lax.dynamic_index_in_dim(params_true, vi, axis=1, keepdims=False)
-        col = jax.lax.dynamic_index_in_dim(adj_true, vi, axis=2, keepdims=False)  # x -> vi
-        row = jax.lax.dynamic_index_in_dim(adj_true, vi, axis=1, keepdims=False)  # vi -> x
-        s_true = jax.lax.dynamic_index_in_dim(row, vi, axis=1, keepdims=False)    # adj[vi, vi]
-
-        def node_branch(_):
-            h_prev = jax.lax.dynamic_index_in_dim(hid_a, vi - 1, axis=1, keepdims=False)
-            eh_row, proj_row = _node_caches(h_prev, w1b, wp)
-            ehn = jax.lax.dynamic_update_index_in_dim(eh, eh_row, vi - 1, axis=1)
-            projn = jax.lax.dynamic_update_index_in_dim(proj_a, proj_row, vi - 1, axis=1)
-            xi_pred = L.mlp(params["h_to_x"], h_prev).astype(dt)
-            d_lxi = (
-                mse(xi_pred[:, :9] * w_env, xi_true[:, :9] * w_env).mean(0).sum()
-                + mse(xi_pred[:, 9] * w_frq, xi_true[:, 9] * w_frq).mean()
-                + mse(xi_pred[:, 10:18], xi_true[:, 10:18]).mean(0).sum()
-                + L.bce_with_logits(xi_pred[:, 18], xi_true[:, 18]).mean()
-                + L.cross_entropy(xi_pred[:, 19:23], pi_true[:, 19]).mean()
-                + L.cross_entropy(xi_pred[:, 23:27], pi_true[:, 20]).mean()
-            )
-            # propagate with no incident edges and no self-loop yet
-            return d_lxi, zero, zero_hin, no_loop, ehn, projn
-
-        def self_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
-            logit = L.mlp(params["h_to_edge_self"], h_vi).astype(dt)  # (B, 1)
-            d_le = L.bce_with_logits(logit, s_true[:, None]).mean()
-            return zero, d_le, zero_hin, s_true, eh, proj_a  # window edges absent
-
-        def edge_branch(_):
-            h_vi = jax.lax.dynamic_index_in_dim(hid_a, vi, axis=1, keepdims=False)
-            eh_vj = jax.lax.dynamic_index_in_dim(eh, vj, axis=1, keepdims=False)
-            e_logit = _edge_logits(params, h_vi, eh_vj, w1a, b1).astype(dt)
-            e_true = jnp.stack(
-                [
-                    jax.lax.dynamic_index_in_dim(col, vj, axis=1, keepdims=False),
-                    jax.lax.dynamic_index_in_dim(row, vj, axis=1, keepdims=False),
-                ],
-                axis=-1,
-            )
-            d_le = L.bce_with_logits(e_logit, e_true).mean(0).sum()
-            proj_vj = jax.lax.dynamic_index_in_dim(proj_a, vj, axis=1, keepdims=False)
-            h_new = h_acc + slot_contribution(
-                proj_vj, e_true[:, 0].astype(cdt), e_true[:, 1].astype(cdt), gate_b
-            )
-            return zero, d_le, h_new, s_true, eh, proj_a
-
-        d_lxi, d_le, h_new, s, eh, proj_a = jax.lax.switch(
-            t, [node_branch, self_branch, edge_branch], None
-        )
-        hv = _propagate_list(params, xi_true, h_new, s, cdt, pw)
-        hid_a = jax.lax.dynamic_update_index_in_dim(hid_a, hv, vi, axis=1)
-        return (hid_a, proj_a, lxi + d_lxi, le + d_le, h_new, eh), None
-
-    hid_a0 = jnp.zeros((b, n, cfg.size_h), cdt).at[:, 0].set(h0)
-    proj_a0 = jnp.zeros((b, n, 4, cfg.size_h), cdt)
-    body_fn = jax.checkpoint(body) if cfg.remat else body
-    (_, _, loss_xi, loss_e, _, _), _ = jax.lax.scan(
-        body_fn,
-        (hid_a0, proj_a0, jnp.zeros((), dt), jnp.zeros((), dt), zero_hin, eh0),
-        (t_arr, vi_arr, vj_arr),
-    )
-    kld_w = _kld(mu, std) * w_kld
-    total = loss_x0 + loss_xi + loss_e + kld_w
-    return total, (loss_x0, loss_xi, loss_e, kld_w)
 
 
 def forward(

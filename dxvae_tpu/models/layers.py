@@ -61,8 +61,28 @@ def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32):
 # apply
 # --------------------------------------------------------------------------- #
 
+def matmul_wT(x, w):
+    """``x @ w.T`` with mixed-precision support.
+
+    When the weight is bfloat16 but the activation is not (the
+    ``bfloat16_mixed`` mode: bf16 weights/MXU flops, float32 activation
+    islands), the activation is cast to bf16 for the matmul and the MXU
+    accumulates/outputs in the activation's dtype via
+    ``preferred_element_type`` — full-rate bf16 matmul, no precision loss in
+    the elementwise chain between matmuls.
+    """
+    if w.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16),
+            w,
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=x.dtype,
+        )
+    return x @ w.T
+
+
 def linear(p, x):
-    y = x @ p["w"].T
+    y = matmul_wT(x, p["w"])
     if "b" in p:
         y = y + p["b"]
     return y
@@ -84,8 +104,8 @@ def gru(p, x, h):
     n = tanh   (W_in x + b_in + r * (W_hn h + b_hn))
     h' = (1 - z) * n + z * h
     """
-    gi = x @ p["w_ih"].T + p["b_ih"]
-    gh = h @ p["w_hh"].T + p["b_hh"]
+    gi = matmul_wT(x, p["w_ih"]) + p["b_ih"]
+    gh = matmul_wT(h, p["w_hh"]) + p["b_hh"]
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)

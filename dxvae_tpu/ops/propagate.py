@@ -59,7 +59,17 @@ class PropState(NamedTuple):
         ``w_pack`` is the (4H, H) stacked projection matrix from
         :func:`pack_gate_mapper`; the refresh is one (B, H) @ (H, 4H) matmul.
         """
-        p = (h @ w_pack.T).reshape(h.shape[0], 4, -1)
+        # bf16 weights + f32 hidden = the bfloat16_mixed mode: bf16 matmul
+        # with f32 accumulation/output (same rule as layers.matmul_wT; inlined
+        # here to avoid a models <-> ops import cycle)
+        if w_pack.dtype == jnp.bfloat16 and h.dtype != jnp.bfloat16:
+            p = jax.lax.dot_general(
+                h.astype(jnp.bfloat16), w_pack,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=h.dtype,
+            ).reshape(h.shape[0], 4, -1)
+        else:
+            p = (h @ w_pack.T).reshape(h.shape[0], 4, -1)
         return PropState(
             hidden=self.hidden.at[:, v, :].set(h),
             proj=self.proj.at[:, v, :, :].set(p),
@@ -81,10 +91,11 @@ def slot_contribution(
 ) -> jnp.ndarray:
     """Gated-sum contribution of a single window slot x.
 
-    ``proj_x (B, 4, H)``: slot x's cached projections; ``e_forth``/``e_back``
-    ``(B,)``: the x->target / target->x edge indicators.  Zero indicators give
-    exactly zero (bias-free mapper), so adding contributions unconditionally
-    is safe.
+    ``proj_x (..., 4, H)``: slot x's cached projections; ``e_forth``/``e_back``
+    ``(...)``: the x->target / target->x edge indicators (any leading batch
+    dims, e.g. ``(B,)`` per-step or ``(B, S)`` for a whole batched cadence).
+    Zero indicators give exactly zero (bias-free mapper), so adding
+    contributions unconditionally is safe.
 
     This enables the decoder's *incremental aggregation*: during node vi's
     refresh cadence, the edge masks change one slot per step (NODE and SELF
@@ -92,10 +103,10 @@ def slot_contribution(
     running sum of slot contributions — O(1) slots touched per propagate
     instead of re-reading all 7 slots' projections.
     """
-    mf = e_forth[:, None]
-    mb = e_back[:, None]
-    g = jax.nn.sigmoid(mf * proj_x[:, 0, :] + mb * proj_x[:, 1, :] + gate_b)
-    m = mf * proj_x[:, 2, :] + mb * proj_x[:, 3, :]
+    mf = e_forth[..., None]
+    mb = e_back[..., None]
+    g = jax.nn.sigmoid(mf * proj_x[..., 0, :] + mb * proj_x[..., 1, :] + gate_b)
+    m = mf * proj_x[..., 2, :] + mb * proj_x[..., 3, :]
     return g * m
 
 
