@@ -333,11 +333,15 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     cdt, dt = _dtypes(cfg, z.dtype)  # generated X/params/adj in full precision
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
-    pw = None
+    pw = cw = None
     if cfg.use_pallas:
-        from dxvae_tpu.ops.fused_propagate import pack_propagate_weights
+        from dxvae_tpu.ops.fused_propagate import (
+            pack_cadence_weights,
+            pack_propagate_weights,
+        )
 
         pw = pack_propagate_weights(params, cdt)
+        cw = pack_cadence_weights(params, cdt)
 
     del init_state  # decode never reads pre-existing node state (windows only
     # cover nodes it has already rewritten), so a fresh zero state is identical
@@ -386,7 +390,21 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
         # exactly one window slot, so H_in accumulates incrementally
         order = list(range(vi - 1, -1, -1))
-        if cfg.unroll:
+        if cw is not None:
+            # weight-resident Pallas kernel: the node's whole edge cadence
+            # (edge logits -> decisions -> slot -> 2-GRU propagate, iterated)
+            # in one launch, GRU + edge-head weights loaded once per tile
+            from dxvae_tpu.ops.fused_propagate import edge_cadence
+
+            ehs = jnp.stack([ehl[j] for j in order])
+            projs = jnp.stack([projl[j].reshape(b, -1) for j in order])
+            hv, e_logits = edge_cadence(xi, s, hv, ehs, projs, cw)
+            for k, vj in enumerate(order):
+                e_in = (jax.nn.sigmoid(e_logits[k, :, 0].astype(dt)) > 0.5).astype(dt)
+                e_out = (jax.nn.sigmoid(e_logits[k, :, 1].astype(dt)) > 0.5).astype(dt)
+                adj_in[vj][vi] = e_in
+                adj_in[vi][vj] = e_out
+        elif cfg.unroll:
             h_acc = zero_hin
             for vj in order:
                 e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)

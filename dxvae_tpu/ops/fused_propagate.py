@@ -171,3 +171,146 @@ def propagate_step(x, h_in, self_loop, weights, tile_b: int = 128):
     if pad_b:
         hv, proj = hv[:b], proj[:b]
     return hv, proj.reshape(b, 4, -1)
+
+
+# --------------------------------------------------------------------------- #
+# weight-resident edge-cadence kernel
+# --------------------------------------------------------------------------- #
+# One kernel per decoded node covering its WHOLE edge cadence (model.py:
+# 242-251): for each already-decoded vj, edge logits from (Hi, cached eh_vj),
+# threshold decisions, gated-sum slot contribution, and the 2-GRU propagate —
+# iterated vi times with the GRU + edge-head weights resident in VMEM.  This
+# is the "middle point" VERDICT r1 #4 asked for: the per-step kernel above
+# loses to XLA because it re-streams ~10 MB of weights per step; amortizing
+# them over a node's 1..6 sequential steps removes that re-streaming while
+# keeping VMEM within budget (weights ~5.8 MB + per-tile eh/proj data).
+
+def _cadence_kernel(xi_ref, xl_ref, hv0_ref, ehs_ref, projs_ref,
+                    wic_ref, bic_ref, whc_ref, bhc_ref,
+                    wil_ref, bil_ref, whl_ref, bhl_ref,
+                    w1a_ref, b1_ref, w2_ref, b2_ref, gate_b_ref,
+                    hv_ref, logits_ref):
+    size_h = hv0_ref.shape[-1]
+    f32 = jnp.float32
+    n_edges = ehs_ref.shape[0]
+    cdt = hv0_ref.dtype
+
+    # x-side GRU products are loop-invariant: computed once per tile
+    gi_c = jnp.dot(xi_ref[:], wic_ref[:], preferred_element_type=f32) + bic_ref[:]
+    gi_l = jnp.dot(xl_ref[:], wil_ref[:], preferred_element_type=f32) + bil_ref[:]
+    h = hv0_ref[:].astype(f32)
+    h_acc = jnp.zeros((h.shape[0], size_h), f32)
+    gate_b = gate_b_ref[:].astype(f32)
+
+    for k in range(n_edges):  # static unroll: n_edges = vi <= 6
+        # edge logits vs vj = order[k]: cat(Hi, Hj) @ W1 split as
+        # Hi @ W1a + (cached Hj @ W1b)
+        l0 = (
+            jnp.dot(h.astype(cdt), w1a_ref[:], preferred_element_type=f32)
+            + ehs_ref[k].astype(f32)
+            + b1_ref[:]
+        )
+        e = jnp.dot(jnp.maximum(l0, 0.0).astype(cdt), w2_ref[:],
+                    preferred_element_type=f32) + b2_ref[:]  # (TB, 128); cols 0,1 = in/out
+        logits_ref[k] = e.astype(logits_ref.dtype)
+        e_in = (e[:, 0:1] > 0.0).astype(f32)   # sigmoid(x) > 0.5 <=> x > 0
+        e_out = (e[:, 1:2] > 0.0).astype(f32)
+
+        # gated-sum slot contribution of vj (bias-free mapper: zero masks
+        # contribute exactly zero)
+        pj = projs_ref[k].astype(f32)  # (TB, 4H): [gate_f, gate_b, map_f, map_b]
+        g = jax.nn.sigmoid(
+            e_in * pj[:, :size_h] + e_out * pj[:, size_h : 2 * size_h] + gate_b
+        )
+        m = e_in * pj[:, 2 * size_h : 3 * size_h] + e_out * pj[:, 3 * size_h :]
+        h_acc = h_acc + g * m
+
+        # 2-GRU propagate with H_in = h_acc (combiner's previous state)
+        gh_c = jnp.dot(h_acc.astype(cdt), whc_ref[:], preferred_element_type=f32) + bhc_ref[:]
+        h1 = _gru_gates(gi_c, gh_c, h_acc, size_h)
+        gh_l = jnp.dot(h1.astype(cdt), whl_ref[:], preferred_element_type=f32) + bhl_ref[:]
+        h = _gru_gates(gi_l, gh_l, h1, size_h)
+
+    hv_ref[:] = h.astype(hv_ref.dtype)
+
+
+def pack_cadence_weights(params, cdt=None):
+    """Kernel-layout weights for :func:`edge_cadence`: GRU weights transposed
+    to (in, out) with the 27-dim feature inputs padded to 32 lanes, the edge
+    head split into its Hi half (H, 4H) + output layer (4H, 2) padded to 128
+    output lanes, and the gated-sum parameters."""
+    c, l = params["dec_combiner"], params["dec_looper"]
+    size_x = c["w_ih"].shape[1]
+    size_h = c["w_hh"].shape[1]
+
+    def pad_in(w):
+        return jnp.pad(w.T, ((0, _PAD_IN - size_x), (0, 0)))
+
+    w1 = params["h_to_edge"][0]["w"]  # (4H, 2H)
+    w1a_t = w1[:, :size_h].T          # (H, 4H)
+    b1 = params["h_to_edge"][0]["b"][None, :]
+    w2 = params["h_to_edge"][1]["w"]  # (2, 4H)
+    w2_t = jnp.pad(w2.T, ((0, 0), (0, 128 - w2.shape[0])))  # (4H, 128)
+    b2 = jnp.pad(params["h_to_edge"][1]["b"], (0, 128 - w2.shape[0]))[None, :]
+    out = (
+        pad_in(c["w_ih"]), c["b_ih"][None, :], c["w_hh"].T, c["b_hh"][None, :],
+        pad_in(l["w_ih"]), l["b_ih"][None, :], l["w_hh"].T, l["b_hh"][None, :],
+        w1a_t, b1, w2_t, b2, params["gate"]["b"][None, :],
+    )
+    if cdt is not None:
+        out = tuple(a.astype(cdt) for a in out)
+    return out
+
+
+def edge_cadence(xi, self_loop, hv0, ehs, projs, weights, tile_b: int = 128):
+    """Run one node's full edge cadence in a single weight-resident kernel.
+
+    ``xi (B, size_x)`` node features; ``self_loop (B,)``; ``hv0 (B, H)`` the
+    hidden state after the SELF refresh; ``ehs (n_edges, B, 4H)`` cached
+    Hj @ W1b halves in vj order; ``projs (n_edges, B, 4H)`` cached projection
+    rows (flattened).  Returns ``(hv (B, H), e_logits (n_edges, B, 2))``.
+    """
+    b, size_x = xi.shape
+    n_edges = ehs.shape[0]
+    dt = hv0.dtype
+    xi = xi.astype(dt)
+    xp = jnp.pad(xi, ((0, 0), (0, _PAD_IN - size_x)))
+    xl = xp * self_loop.astype(dt)[:, None]
+    pad_b = (-b) % tile_b
+    if pad_b:
+        pad2 = lambda a: jnp.pad(a, ((0, pad_b), (0, 0)))
+        pad3 = lambda a: jnp.pad(a, ((0, 0), (0, pad_b), (0, 0)))
+        xp, xl, hv0 = pad2(xp), pad2(xl), pad2(hv0)
+        ehs, projs = pad3(ehs), pad3(projs)
+    bp = b + pad_b
+    size_h = hv0.shape[-1]
+    grid = (bp // tile_b,)
+    interpret = jax.default_backend() != "tpu"
+
+    def tiled2(shape):
+        return pl.BlockSpec((tile_b, shape[-1]), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def tiled3(shape):
+        return pl.BlockSpec((shape[0], tile_b, shape[-1]), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def whole(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    hv, logits = pl.pallas_call(
+        _cadence_kernel,
+        grid=grid,
+        in_specs=[
+            tiled2(xp.shape), tiled2(xl.shape), tiled2(hv0.shape),
+            tiled3(ehs.shape), tiled3(projs.shape),
+        ] + [whole(w) for w in weights],
+        out_specs=(tiled2((bp, size_h)), tiled3((n_edges, bp, 128))),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, size_h), dt),
+            jax.ShapeDtypeStruct((n_edges, bp, 128), dt),
+        ),
+        interpret=interpret,
+    )(xp, xl, hv0, ehs, projs, *weights)
+    return hv[:b], logits[:, :b, :2]
