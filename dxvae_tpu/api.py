@@ -78,7 +78,6 @@ class DXVAE:
         strict_parity: bool = True,
         unroll: bool = False,
         compute_dtype: str = "float32",
-        use_pallas: bool = False,
     ):
         self.cfg = DXVAEConfig(
             n_nodes=n_nodes,
@@ -90,7 +89,6 @@ class DXVAE:
             strict_parity=strict_parity,
             unroll=unroll,
             compute_dtype=compute_dtype,
-            use_pallas=use_pallas,
         )
         self._key = jax.random.PRNGKey(seed)
         self.params = init_params(self._next_key(), self.cfg)

@@ -62,10 +62,6 @@ class DXVAEConfig(NamedTuple):
     size_z: int = 128
     strict_parity: bool = True
     unroll: bool = False
-    # run the decode propagate step (combiner GRU + looper GRU + projection
-    # update) as a fused Pallas TPU kernel; training still works (custom VJP
-    # rematerializes through a jnp-identical backward)
-    use_pallas: bool = False
     # rematerialize the loss scan body on the backward pass (jax.checkpoint):
     # trades one extra forward per step for not storing per-step activations —
     # relevant for very large batches
@@ -292,17 +288,13 @@ def encode(params, X, adj, cfg: DXVAEConfig = DXVAEConfig()):
     return mu, std, st
 
 
-def _propagate_list(params, x_vi, h_in, self_loop, cdt, pw=None):
+def _propagate_list(params, x_vi, h_in, self_loop, cdt):
     """List-state decode propagate: returns the refreshed hidden state only.
 
     Projection-cache rows are NOT computed here: a node's cached projections
     (and its edge-head half) are only ever read after the node's whole refresh
     cadence finishes, so callers compute them lazily — once per node instead
     of at all 33 refreshes — via :func:`_node_caches`."""
-    if pw is not None:
-        from dxvae_tpu.ops.fused_propagate import propagate_step
-
-        return propagate_step(x_vi, h_in.astype(cdt), self_loop, pw)[0]
     x_vi = x_vi.astype(cdt)
     hv = L.gru(params["dec_combiner"], x_vi, h_in.astype(cdt))
     hv = L.gru(params["dec_looper"], x_vi * self_loop.astype(cdt)[:, None], hv)
@@ -333,15 +325,6 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     cdt, dt = _dtypes(cfg, z.dtype)  # generated X/params/adj in full precision
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
-    pw = cw = None
-    if cfg.use_pallas:
-        from dxvae_tpu.ops.fused_propagate import (
-            pack_cadence_weights,
-            pack_propagate_weights,
-        )
-
-        pw = pack_propagate_weights(params, cdt)
-        cw = pack_cadence_weights(params, cdt)
 
     del init_state  # decode never reads pre-existing node state (windows only
     # cover nodes it has already rewritten), so a fresh zero state is identical
@@ -378,33 +361,19 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         Pl.append(pi)
 
         # propagate with no incident edges yet (H_in = 0)
-        hv = _propagate_list(params, xi, zero_hin, no_loop, cdt, pw)
+        hv = _propagate_list(params, xi, zero_hin, no_loop, cdt)
 
         # self-loop decision, then re-propagate (model.py:236-240);
         # window edges still absent, so H_in stays 0
         s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
         s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
         adj_self.append(s)
-        hv = _propagate_list(params, xi, zero_hin, s, cdt, pw)
+        hv = _propagate_list(params, xi, zero_hin, s, cdt)
 
         # in/out edge decisions vs vj = vi-1 .. 0; each decision enables
         # exactly one window slot, so H_in accumulates incrementally
         order = list(range(vi - 1, -1, -1))
-        if cw is not None:
-            # weight-resident Pallas kernel: the node's whole edge cadence
-            # (edge logits -> decisions -> slot -> 2-GRU propagate, iterated)
-            # in one launch, GRU + edge-head weights loaded once per tile
-            from dxvae_tpu.ops.fused_propagate import edge_cadence
-
-            ehs = jnp.stack([ehl[j] for j in order])
-            projs = jnp.stack([projl[j].reshape(b, -1) for j in order])
-            hv, e_logits = edge_cadence(xi, s, hv, ehs, projs, cw)
-            for k, vj in enumerate(order):
-                e_in = (jax.nn.sigmoid(e_logits[k, :, 0].astype(dt)) > 0.5).astype(dt)
-                e_out = (jax.nn.sigmoid(e_logits[k, :, 1].astype(dt)) > 0.5).astype(dt)
-                adj_in[vj][vi] = e_in
-                adj_in[vi][vj] = e_out
-        elif cfg.unroll:
+        if cfg.unroll:
             h_acc = zero_hin
             for vj in order:
                 e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
@@ -415,7 +384,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 h_acc = h_acc + slot_contribution(
                     projl[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                hv = _propagate_list(params, xi, h_acc, s, cdt, pw)
+                hv = _propagate_list(params, xi, h_acc, s, cdt)
         else:
             # branch-free edge scan: per-step inputs pre-stacked as xs
             xs = (
@@ -432,7 +401,7 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 h_acc = h_acc + slot_contribution(
                     proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-                hv = _propagate_list(params, xi, h_acc, s, cdt, pw)
+                hv = _propagate_list(params, xi, h_acc, s, cdt)
                 return (hv, h_acc), (e_in, e_out)
 
             (hv, _), (e_ins, e_outs) = jax.lax.scan(edge_body, (hv, zero_hin), xs)
@@ -500,11 +469,6 @@ def elbo_loss(
     w_env, w_frq, w_kld = weights.w_env, weights.w_frq, weights.w_kld
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
-    pw = None
-    if cfg.use_pallas:
-        from dxvae_tpu.ops.fused_propagate import pack_propagate_weights
-
-        pw = pack_propagate_weights(params, cdt)
 
     if training:
         if key is None:
@@ -591,7 +555,6 @@ def elbo_loss(
             h_in.reshape(b_ * s, -1),
             s_seq.reshape(b_ * s),
             cdt,
-            pw,
         ).reshape(b_, s, cfg.size_h)
         self_logit = L.mlp(params["h_to_edge_self"], hv_all[:, 0]).astype(dt)
         d_le = L.bce_with_logits(self_logit, s_true[:, None]).mean()
@@ -628,10 +591,10 @@ def elbo_loss(
             # incident edges, self-loop decision + re-propagate, then one
             # propagate per teacher-forced edge pair (H_in accumulates one
             # window slot at a time)
-            hv = _propagate_list(params, xi_true, zero_hin, no_loop, cdt, pw)
+            hv = _propagate_list(params, xi_true, zero_hin, no_loop, cdt)
             self_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
             loss_e = loss_e + L.bce_with_logits(self_logit, s_true[:, None]).mean()
-            hv = _propagate_list(params, xi_true, zero_hin, s_true, cdt, pw)
+            hv = _propagate_list(params, xi_true, zero_hin, s_true, cdt)
             h_acc = zero_hin
             for vj in order:
                 e_logit = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
@@ -643,7 +606,7 @@ def elbo_loss(
                     adj_true[:, vi, vj].astype(cdt),
                     gate_b,
                 )
-                hv = _propagate_list(params, xi_true, h_acc, s_true, cdt, pw)
+                hv = _propagate_list(params, xi_true, h_acc, s_true, cdt)
             hid_prev = hv
         else:
             hid_prev, d_le = node_cadence(
