@@ -50,22 +50,14 @@ def main() -> int:
 
     from dxvae_tpu.data.dataset import DXDataset
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
+    from dxvae_tpu.models.dxvae import _compute_params
 
     cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    if args.dtype == "bfloat16":
-        # pre-cast once: the in-jit master->bf16 cast is NOT loop-invariant-
-        # hoisted out of the chained fori, costing ~0.3 ms per iteration
-        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
-    elif args.dtype == "bfloat16_mixed":
-        # matrices to bf16 except the GRU recurrence matrices (see
-        # models.dxvae._compute_params)
-        params = jax.tree_util.tree_map_with_path(
-            lambda p, a: a.astype(jnp.bfloat16)
-            if a.ndim >= 2 and getattr(p[-1], "key", None) != "w_hh"
-            else a,
-            params,
-        )
+    # pre-cast once with the model's own cast policy (no-op in f32): the
+    # in-jit master->compute cast is NOT loop-invariant-hoisted out of the
+    # chained fori, costing ~0.3 ms per iteration
+    params = _compute_params(params, cfg)
 
     ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
                    include="synprez")

@@ -238,7 +238,13 @@ class DXVAE:
             )
 
         optimizer = make_optimizer(lr)
-        state = init_train_state(self._next_key(), optimizer, self.cfg, params=self.params)
+        # copy the weights into the train state: step_fn donates its state
+        # argument, and donating self.params directly would leave the model
+        # holding deleted buffers if training aborts (or is re-entered)
+        state = init_train_state(
+            self._next_key(), optimizer, self.cfg,
+            params=jax.tree.map(jnp.copy, self.params),
+        )
         step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
 
         if n_data is None:
@@ -291,7 +297,10 @@ class DXVAE:
             if checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
             ):
-                self.params = state.params
+                # NOTE: self.params is only re-bound after the loop —
+                # state.params buffers are donated to the next step, so
+                # binding them mid-loop would leave the model holding
+                # deleted arrays once that step runs
                 save_checkpoint(checkpoint, state)
                 log.checkpoint_saved(checkpoint)
         self.params = state.params

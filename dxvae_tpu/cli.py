@@ -34,14 +34,14 @@ def _load_graphs(args) -> GraphBatch:
     return ds.batch
 
 
-def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
-    model = DXVAE()
+def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
+    model = DXVAE(seed=seed)
     model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
     return model
 
 
-def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
-    model = DXVAE(checkpoint=chk)
+def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
+    model = DXVAE(checkpoint=chk, seed=seed)
     model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
     return model
 
@@ -86,14 +86,20 @@ def main(argv=None) -> int:
     dflt = TrainConfig()
 
     def common(sp, train=False):
-        sp.add_argument("--raw-dir", default=dflt.raw_dir)
+        # defaults of None so "flag given" is distinguishable from "use the
+        # TrainConfig default" — a --config file must be able to set these
+        sp.add_argument("--raw-dir", default=None,
+                        help=f"(default: {dflt.raw_dir})")
         sp.add_argument("--synprez-only", action="store_true",
                         help="restrict to the 1024-patch baseline subset")
-        sp.add_argument("--checkpoint", default=dflt.checkpoint)
+        sp.add_argument("--checkpoint", default=None,
+                        help=f"(default: {dflt.checkpoint})")
         if train:
             sp.add_argument("--config", default=None,
                             help="JSON TrainConfig file; flags given on the "
                                  "command line override it")
+            sp.add_argument("--seed", type=int, default=None,
+                            help="weight-init / shuffle PRNG seed")
             sp.add_argument("--epochs", type=int, default=None)
             sp.add_argument("--size-batch", type=int, default=None)
             sp.add_argument("--lr", type=float, default=None)
@@ -128,6 +134,25 @@ def main(argv=None) -> int:
 
     args = p.parse_args(argv)
 
+    # resolve knobs for EVERY field: CLI flag > --config file > TrainConfig
+    # defaults (checkpoint/raw_dir/seed included — a --config file that sets
+    # them must take effect, not be silently shadowed by argparse defaults)
+    cfg = TrainConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            cfg = TrainConfig.from_json(f.read())
+    for flag in (
+        "raw_dir", "checkpoint", "seed", "epochs", "size_batch", "lr",
+        "w_env", "w_frq", "w_kld", "metrics_csv", "n_data",
+    ):
+        v = getattr(args, flag, None)
+        if v is not None:
+            setattr(cfg, flag, v)
+    if getattr(args, "no_extra_epoch", False):
+        cfg.extra_epoch = False
+    args.raw_dir = cfg.raw_dir
+    args.checkpoint = cfg.checkpoint
+
     if args.cmd in ("decode-test", "generate", "forward-test"):
         from pathlib import Path as _P
 
@@ -141,26 +166,11 @@ def main(argv=None) -> int:
             args.checkpoint = None
 
     if args.cmd in ("train-new", "train-on"):
-        # resolve knobs: CLI flag > --config file > TrainConfig defaults
-        cfg = TrainConfig()
-        if args.config:
-            with open(args.config) as f:
-                cfg = TrainConfig.from_json(f.read())
-        for flag, field in (
-            ("epochs", "epochs"), ("size_batch", "size_batch"), ("lr", "lr"),
-            ("w_env", "w_env"), ("w_frq", "w_frq"), ("w_kld", "w_kld"),
-            ("metrics_csv", "metrics_csv"), ("n_data", "n_data"),
-        ):
-            v = getattr(args, flag)
-            if v is not None:
-                setattr(cfg, field, v)
-        if args.no_extra_epoch:
-            cfg.extra_epoch = False
         G = _load_graphs(args)
         fn = train_new if args.cmd == "train-new" else train_on
         fn(
             G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,
-            cfg.w_env, cfg.w_frq, cfg.w_kld,
+            cfg.w_env, cfg.w_frq, cfg.w_kld, seed=cfg.seed,
             metrics_csv=cfg.metrics_csv, extra_epoch=cfg.extra_epoch,
             n_data=cfg.n_data, save_every=cfg.save_every_epochs,
         )

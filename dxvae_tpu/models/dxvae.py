@@ -135,6 +135,11 @@ def _dtypes(cfg: DXVAEConfig, ref_dtype):
     """
     if cfg.compute_dtype == "bfloat16":
         return jnp.bfloat16, jnp.float32
+    if cfg.compute_dtype not in ("float32", "bfloat16_mixed"):
+        raise ValueError(
+            f"unknown compute_dtype {cfg.compute_dtype!r}; expected 'float32', "
+            "'bfloat16', or 'bfloat16_mixed'"
+        )
     return ref_dtype, ref_dtype
 
 

@@ -138,12 +138,17 @@ def main():
     ap.add_argument("--steps", type=int, default=5)
     args = ap.parse_args()
 
-    torch.set_num_threads(torch.get_num_threads())  # default threading, no pinning
+    import os
+
+    n_cpus = os.cpu_count() or 1
 
     rt_s, rt_pps, ri_s, ri_pps = time_reference(args.batch, args.steps, args.gen_batch)
     ot_s, ot_pps, oi_s, oi_pps = time_ours_cpu(args.batch, args.steps, args.gen_batch)
 
-    print(f"\n| measurement (batch {args.batch}, f32) | reference (torch CPU) | "
+    print(f"\nhost: {n_cpus} CPU core(s) visible to both frameworks "
+          f"(torch threads: {torch.get_num_threads()}); like-for-like = same host, "
+          "default threading on both sides")
+    print(f"| measurement (batch {args.batch}, f32) | reference (torch CPU) | "
           f"this framework (JAX CPU) | speedup |")
     print("|---|---|---|---|")
     print(f"| train step (fwd+bwd+AdamW) | {rt_s*1e3:.0f} ms = {rt_pps:,.0f} patches/s "
@@ -152,6 +157,7 @@ def main():
           f"{ri_pps:,.0f} patches/s | {oi_s*1e3:.1f} ms = {oi_pps:,.0f} patches/s "
           f"| {oi_pps/ri_pps:.1f}x |")
     print(json.dumps({
+        "host_cpus": n_cpus,
         "batch": args.batch,
         "ref_train_pps": round(rt_pps, 1),
         "ours_cpu_train_pps": round(ot_pps, 1),

@@ -193,7 +193,10 @@ def main():
         # independent matmuls: only the tiny reduction chains — achievable
         # matmul THROUGHPUT upper bound for this shape
         def body(i, acc):
-            y = (v + acc * 1e-20) @ w
+            # cast the feedback term back to v's dtype: a strongly-typed f32
+            # acc would otherwise promote the whole matmul to f32 and the
+            # bf16 calibration would silently measure f32 matmuls
+            y = (v + (acc * 1e-20).astype(v.dtype)) @ w
             return acc + y.sum()
 
         return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))

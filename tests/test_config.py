@@ -43,3 +43,36 @@ def test_cli_defaults_come_from_dataclass(tmp_path, monkeypatch):
     assert captured["lr"] == 2e-4           # flag overrides file
     assert captured["size_batch"] == 32     # dataclass default
     assert captured["w_kld"] == 0.01
+
+
+def test_cli_config_file_sets_checkpoint_rawdir_seed(tmp_path, monkeypatch):
+    """checkpoint / raw_dir / seed in a --config file must take effect (they
+    were previously shadowed by argparse defaults), and flags still win."""
+    import dxvae_tpu.cli as cli
+
+    captured = {}
+
+    def fake_train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, **kw):
+        captured.update(chk=chk, **kw)
+
+    seen_args = {}
+    monkeypatch.setattr(cli, "train_new", fake_train_new)
+    monkeypatch.setattr(
+        cli, "_load_graphs", lambda args: seen_args.update(raw_dir=args.raw_dir)
+    )
+
+    cfg_file = tmp_path / "cfg.json"
+    cfg_file.write_text(TrainConfig(
+        epochs=1, checkpoint="from_config.npz", raw_dir="/cfg/raw", seed=7
+    ).to_json())
+
+    cli.main(["train-new", "--config", str(cfg_file)])
+    assert captured["chk"] == "from_config.npz"
+    assert captured["seed"] == 7
+    assert seen_args["raw_dir"] == "/cfg/raw"
+
+    cli.main(["train-new", "--config", str(cfg_file),
+              "--checkpoint", "flag.npz", "--seed", "3", "--raw-dir", "/flag/raw"])
+    assert captured["chk"] == "flag.npz"     # flag overrides file
+    assert captured["seed"] == 3
+    assert seen_args["raw_dir"] == "/flag/raw"

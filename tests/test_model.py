@@ -285,6 +285,14 @@ def test_trained_weights_loss_parity(dataset):
     assert rel < 1e-3, f"trained-weights ELBO rel diff {rel}"
 
 
+def test_unknown_compute_dtype_raises(params, real_batch):
+    """A misspelled compute_dtype must fail loudly, not silently run f32."""
+    X, P, adj = real_batch
+    with pytest.raises(ValueError, match="compute_dtype"):
+        forward(params, X, P, adj, training=False,
+                cfg=DXVAEConfig(compute_dtype="bf16_mixed"))
+
+
 def test_bfloat16_mixed_matches_f32_closely(params, real_batch):
     """bfloat16_mixed (bf16 matrices except GRU w_hh, f32 activations) must
     track the f32 forward closely — it exists to close the bf16 convergence

@@ -237,6 +237,27 @@ def test_train_divergence_abort(dataset, tmp_path):
         )
     crashes = list(tmp_path.glob("*.diverged_epoch*.npz"))
     assert crashes, "diverged-state snapshot not written"
+    # donation regression: the abort must not leave the model holding
+    # donated-and-deleted buffers — forward/decode must still work
+    total = model.forward(dataset[:4])[0]
+    assert np.isfinite(float(total))
+
+
+def test_model_usable_after_train(dataset):
+    """train() donates its state buffers to each step; the model's own params
+    must never be donated (copy at init, re-bind only after the loop), so the
+    API stays usable mid-session after training completes."""
+    from dxvae_tpu.api import DXVAE
+
+    model = DXVAE(seed=0)
+    model.train(dataset[:32], epochs=0, size_batch=16, lr=1e-3,
+                extra_epoch=True, shuffle_seed=0, n_data=1)
+    total = model.forward(dataset[:4])[0]
+    assert np.isfinite(float(total))
+    # training twice re-enters with the updated params — must not crash either
+    model.train(dataset[:32], epochs=0, size_batch=16, lr=1e-3,
+                extra_epoch=True, shuffle_seed=0, n_data=1)
+    assert np.isfinite(float(model.forward(dataset[:4])[0]))
 
 
 def test_orbax_checkpoint_roundtrip(tmp_path, dataset):
