@@ -131,6 +131,14 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--index", type=int, default=0)
     sp.add_argument("--count", type=int, default=1)
+    sp = sub.add_parser(
+        "convert-checkpoint",
+        help="convert between our .npz and the reference's torch .chk "
+             "state_dict (direction inferred from the source extension; "
+             "model sizes inferred from tensor shapes)",
+    )
+    sp.add_argument("src")
+    sp.add_argument("dst")
 
     args = p.parse_args(argv)
 
@@ -191,6 +199,11 @@ def main(argv=None) -> int:
     elif args.cmd == "print-data":
         G = _load_graphs(args)
         print_data(G.slice(args.index, args.index + args.count))
+    elif args.cmd == "convert-checkpoint":
+        from dxvae_tpu.utils.checkpoint import convert_checkpoint
+
+        convert_checkpoint(args.src, args.dst)
+        print(f"converted {args.src} -> {args.dst}")
     return 0
 
 

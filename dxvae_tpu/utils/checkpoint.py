@@ -176,6 +176,35 @@ def export_torch_state_dict(params) -> dict:
     return sd
 
 
+def convert_checkpoint(src, dst) -> None:
+    """Two-way checkpoint conversion between this framework's ``.npz`` and the
+    reference's torch ``.chk`` state_dict format (model.py:388), so users can
+    move weights in either direction.  Direction is inferred from the source
+    extension; model sizes (size_H / size_Z) are inferred from the stored
+    tensor shapes, so non-default model sizes convert without flags."""
+    import torch
+
+    from dxvae_tpu.models import DXVAEConfig, init_params
+
+    src, dst = Path(src), Path(dst)
+    if src.suffix == ".npz":
+        with np.load(src) as z:
+            flat = {k[2:]: z[k] for k in z.files}
+        w_hh = flat["params/enc_combiner/w_hh"]  # torch layout (3H, H)
+        size_h, size_z = w_hh.shape[1], flat["params/h_to_mu/w"].shape[0]
+        template = init_params(jax.random.PRNGKey(0), DXVAEConfig(size_h=size_h, size_z=size_z))
+        params = load_checkpoint(src, template)
+        sd = {k: torch.from_numpy(v.copy()) for k, v in export_torch_state_dict(params).items()}
+        torch.save(sd, dst)
+    else:
+        sd = torch.load(src, map_location="cpu")
+        size_h = sd["combin_encode.weight_hh"].shape[1]
+        size_z = sd["h_to_mu.weight"].shape[0]
+        template = init_params(jax.random.PRNGKey(0), DXVAEConfig(size_h=size_h, size_z=size_z))
+        params = import_torch_state_dict(sd, jax.tree.map(np.asarray, template))
+        save_checkpoint(dst, params, params_only=True)
+
+
 # --------------------------------------------------------------------------- #
 # orbax backend (optional)
 # --------------------------------------------------------------------------- #

@@ -205,7 +205,9 @@ def main():
     calib = {}
     for label, fn in (("dependent-chain", mm_chain), ("independent", mm_indep)):
         float(fn(v, w, 1))
-        KS = [64, 256]
+        # large Ks: at ~7-12 us/matmul the K-difference must dwarf the ~±3 ms
+        # readback jitter of the tunnel, or the two-K estimate can go negative
+        KS = [512, 4096]
         mts = []
         for k in KS:
             ts = []

@@ -260,6 +260,35 @@ def test_model_usable_after_train(dataset):
     assert np.isfinite(float(model.forward(dataset[:4])[0]))
 
 
+def test_convert_checkpoint_roundtrip(tmp_path):
+    """CLI checkpoint conversion: .npz -> torch .chk -> .npz is lossless and
+    the .chk loads into the verbatim reference's state_dict names; sizes are
+    inferred from tensor shapes (non-default H/Z covered)."""
+    import torch
+
+    import dxvae_tpu.cli as cli
+    from dxvae_tpu.models import DXVAEConfig, init_params
+    from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+    cfg = DXVAEConfig(size_h=96, size_z=24)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    a = tmp_path / "a.npz"
+    save_checkpoint(a, params, params_only=True)
+
+    chk = tmp_path / "a.chk"
+    b = tmp_path / "b.npz"
+    assert cli.main(["convert-checkpoint", str(a), str(chk)]) == 0
+    assert cli.main(["convert-checkpoint", str(chk), str(b)]) == 0
+
+    sd = torch.load(chk, map_location="cpu")
+    assert sd["combin_encode.weight_hh"].shape == (3 * 96, 96)
+
+    with np.load(a) as za, np.load(b) as zb:
+        assert set(za.files) == set(zb.files)
+        for k in za.files:
+            np.testing.assert_array_equal(za[k], zb[k])
+
+
 def test_orbax_checkpoint_roundtrip(tmp_path, dataset):
     """Optional orbax backend: full-state save/restore matches the npz path."""
     from dxvae_tpu.utils.checkpoint import load_checkpoint_orbax, save_checkpoint_orbax
