@@ -84,6 +84,42 @@ def test_reference_dxdata_exec_parity(tmp_path):
     assert ref_file.read_bytes() == our_file.read_bytes()
 
 
+def test_reference_serializer_fuzz_parity(tmp_path):
+    """Property fuzz at verbatim strength: for random canonical parameter
+    tensors (not just shipped-bank values), the reference's graph_to_syx
+    (dxdata.py:341-397, executed unmodified) and our packer emit byte-identical
+    banks."""
+    sys.path.insert(0, "tests")
+    try:
+        import torch
+
+        from refshim import loader
+        from refshim import shim_dgl as sdgl
+        from test_sysex import canonical_random_params
+
+        loader.install("src_dst")
+        ref_dxdata = loader.load_reference("dxdata")
+    finally:
+        sys.path.remove("tests")
+
+    from dxvae_tpu.data.sysex import params_to_syx_file
+
+    P = canonical_random_params(64, seed=7)
+    for bank in range(2):
+        p = P[bank * 32 : (bank + 1) * 32]
+        graphs = []
+        for i in range(32):
+            g = sdgl.graph(([], []))
+            g.add_nodes(7)
+            g.ndata["params"] = torch.from_numpy(p[i].astype(np.int64))
+            graphs.append(g)
+        ref_file = tmp_path / f"ref_{bank}.syx"
+        our_file = tmp_path / f"our_{bank}.syx"
+        ref_dxdata.graph_to_syx(graphs, str(ref_file))
+        params_to_syx_file(p.astype(np.int64), our_file, checksum="parity")
+        assert ref_file.read_bytes() == our_file.read_bytes()
+
+
 # --------------------------------------------------------------------------- #
 # model layer: reference model.py executed verbatim (f64 subprocess)
 # --------------------------------------------------------------------------- #

@@ -205,11 +205,11 @@ def test_algo_table_matches_reference_spec():
         assert sorted(zip(srcs, dsts)) == sorted(ALGO_EDGES[a]), f"algorithm {a} mismatch"
 
 
-def test_pack_unpack_fuzz_property():
-    """Property: for ANY canonical parameter tensor (values on the DX7 grids),
-    pack -> unpack is the identity."""
-    rng = np.random.default_rng(42)
-    n = 256
+def canonical_random_params(n: int, seed: int = 42) -> np.ndarray:
+    """Random (n, 7, 21) parameter tensors with every value on its DX7 grid
+    (the codec's canonical domain) — shared by the fuzz property test here and
+    the verbatim-reference serializer fuzz in test_reference_exec."""
+    rng = np.random.default_rng(seed)
     highs_op = [99] + [99] * 8 + [31, 99, 14, 99, 99, 99, 3, 7, 7, 1, 3, 3]
     p = np.zeros((n, 7, 21), np.int32)
     for d, hi in enumerate(highs_op):
@@ -220,6 +220,13 @@ def test_pack_unpack_fuzz_property():
     highs_glob = [99] * 8 + [48, 99, 99, 99, 99, 7, 7, 1, 1, 5, 31, 0, 0]
     for d, hi in enumerate(highs_glob):
         p[:, 0, d] = rng.integers(0, hi + 1, n)
+    return p
+
+
+def test_pack_unpack_fuzz_property():
+    """Property: for ANY canonical parameter tensor (values on the DX7 grids),
+    pack -> unpack is the identity."""
+    p = canonical_random_params(256)
 
     raw = sysex.pack_voices(p)
     p2, X2, adj2 = sysex.unpack_voices(raw)
