@@ -97,6 +97,14 @@ def main() -> int:
         estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
     estimates.sort()
     per_iter = estimates[len(estimates) // 2]  # median of five two-K estimates
+    if estimates[0] <= 0 or estimates[-1] > 2 * max(estimates[0], 1e-9):
+        print(
+            "# WARNING: two-K estimates are noise-dominated (spread "
+            f"{[round(e*1e3, 3) for e in estimates]} ms) — the K-difference is "
+            "too small vs the tunnel's readback jitter at this batch/K; use "
+            "the default --batch 1024 --k-lo 2 --k-hi 10 for quotable numbers",
+            file=sys.stderr,
+        )
     pps = n / per_iter
 
     print(
