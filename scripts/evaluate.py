@@ -36,7 +36,7 @@ def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint", default="checkpoints/dx_1024_long.npz")
+    ap.add_argument("--checkpoint", default="checkpoints/dx_1024_xl.npz")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
     args = ap.parse_args()
 
