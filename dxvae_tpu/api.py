@@ -93,6 +93,7 @@ class DXVAE:
         self._key = jax.random.PRNGKey(seed)
         self.params = init_params(self._next_key(), self.cfg)
         self.training = True  # reference parity: .eval() never called (model.py:374-391)
+        self._trained_steps = 0  # step counter carried across train() calls
         self.device = jax.devices()[0].platform  # informational
         if checkpoint is not None:
             self.load(checkpoint)
@@ -265,7 +266,10 @@ class DXVAE:
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
 
         total_epochs = epochs + 1 if extra_epoch else epochs
-        step_base = int(state.step)
+        # steps number continuously across train() calls on this model (the
+        # fresh TrainState's step is always 0); a weights-only resume in a new
+        # process restarts numbering, like the reference restarts AdamW moments
+        step_base = self._trained_steps
         for epoch in range(total_epochs):
             log.epoch(epoch)
             perm = rng.permutation(n_samples)
@@ -279,6 +283,11 @@ class DXVAE:
                 ba = jax.device_put(A_all[idx], sharding)
                 state, metrics = step_fn(state, bx, bp, ba, self._next_key())
                 pending.append(metrics)
+            # scalar sync BEFORE reading the clock: the steps above only
+            # enqueued work (and block_until_ready does not block on the
+            # tunneled TPU, CLAUDE.md) — float() of the last loss is the
+            # fence that makes epoch_s measure compute, not enqueue
+            last = float(pending[-1]["loss"])
             epoch_s = time.perf_counter() - t0
             pps = n_iters * size_batch / epoch_s if epoch_s > 0 else None
             for i, metrics in enumerate(pending):
@@ -287,7 +296,6 @@ class DXVAE:
             # failure detection: a non-finite loss means divergence or device
             # corruption — snapshot state for diagnosis and abort loudly
             # instead of silently overwriting the good checkpoint
-            last = float(pending[-1]["loss"])
             if not np.isfinite(last):
                 crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
                 save_checkpoint(crash, state)
@@ -304,6 +312,7 @@ class DXVAE:
                 save_checkpoint(checkpoint, state)
                 log.checkpoint_saved(checkpoint)
         self.params = state.params
+        self._trained_steps = step_base + total_epochs * n_iters
         log.finished()
         return state
 

@@ -46,8 +46,8 @@ def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
     return model
 
 
-def decode_test(G_en, chk, stochastic=False, printout=True):
-    model = DXVAE(checkpoint=chk)
+def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
+    model = DXVAE(checkpoint=chk, seed=seed)
     G_de = model.encode_decode(G_en, stochastic=stochastic)
     if printout:
         print("[ Encode ]")
@@ -57,8 +57,8 @@ def decode_test(G_en, chk, stochastic=False, printout=True):
     return G_de
 
 
-def generate_test(n=1, chk=None, printout=True):
-    model = DXVAE(checkpoint=chk)
+def generate_test(n=1, chk=None, printout=True, seed=0):
+    model = DXVAE(checkpoint=chk, seed=seed)
     G_gen = model.generate(n)
     if printout:
         print("[ Generate ]")
@@ -94,12 +94,14 @@ def main(argv=None) -> int:
                         help="restrict to the 1024-patch baseline subset")
         sp.add_argument("--checkpoint", default=None,
                         help=f"(default: {dflt.checkpoint})")
+        sp.add_argument("--seed", type=int, default=None,
+                        help="PRNG seed (weight init / shuffle / sampling; "
+                             f"default {dflt.seed} = reproducible output — "
+                             "vary it for different prior samples)")
         if train:
             sp.add_argument("--config", default=None,
                             help="JSON TrainConfig file; flags given on the "
                                  "command line override it")
-            sp.add_argument("--seed", type=int, default=None,
-                            help="weight-init / shuffle PRNG seed")
             sp.add_argument("--epochs", type=int, default=None)
             sp.add_argument("--size-batch", type=int, default=None)
             sp.add_argument("--lr", type=float, default=None)
@@ -184,9 +186,11 @@ def main(argv=None) -> int:
         )
     elif args.cmd == "decode-test":
         G = _load_graphs(args)
-        decode_test(G.slice(args.index, args.index + 1), args.checkpoint, args.stochastic)
+        decode_test(G.slice(args.index, args.index + 1), args.checkpoint,
+                    args.stochastic, seed=cfg.seed)
     elif args.cmd == "generate":
-        G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet)
+        G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet,
+                              seed=cfg.seed)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,

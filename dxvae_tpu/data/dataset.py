@@ -36,8 +36,12 @@ def _cache_key(files: Sequence[Path]) -> str:
     h = hashlib.sha256()
     h.update(f"v{_CODEC_VERSION}".encode())
     for f in files:
+        st = f.stat()
+        # mtime matters: every valid bank is exactly 4104 bytes, so size alone
+        # could never invalidate the cache after an in-place edit
         h.update(str(f).encode())
-        h.update(str(f.stat().st_size).encode())
+        h.update(str(st.st_size).encode())
+        h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()[:16]
 
 

@@ -24,13 +24,13 @@ from dxvae_tpu.data.sysex import GEN_NAME, N_PARAMS, SIZE_X, VOICE_BYTES
 
 _REPO = Path(__file__).resolve().parents[2]
 _LIB_PATH = _REPO / "native" / "build" / "libcsyx.so"
-_lib = None
+_lib = None  # None = not attempted yet; False = attempted, unavailable
 
 
 def _load():
     global _lib
     if _lib is not None:
-        return _lib
+        return _lib or None
     if not _LIB_PATH.exists():
         src = _REPO / "native" / "csyx.cc"
         if src.exists():
@@ -43,8 +43,10 @@ def _load():
                     timeout=120,
                 )
             except Exception:
+                _lib = False  # cache the failure: don't re-run the compiler per call
                 return None
         else:
+            _lib = False
             return None
     lib = ctypes.CDLL(os.fspath(_LIB_PATH))
     lib.csyx_unpack.restype = ctypes.c_int
@@ -100,7 +102,7 @@ def pack_voices(params: np.ndarray, names: np.ndarray | None = None) -> np.ndarr
         raise RuntimeError("native csyx library unavailable (run scripts/build_native.sh)")
     p = np.ascontiguousarray(params, dtype=np.int32)
     n = p.shape[0]
-    name = np.ascontiguousarray(GEN_NAME if names is None else names, dtype=np.uint8)
+    name = np.ascontiguousarray(GEN_NAME, dtype=np.uint8)
     raw = np.empty((n, VOICE_BYTES), np.uint8)
     rc = lib.csyx_pack(
         p.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -110,6 +112,11 @@ def pack_voices(params: np.ndarray, names: np.ndarray | None = None) -> np.ndarr
     )
     if rc != 0:
         raise ValueError("packed voice bytes out of 7-bit range; params not canonical")
+    if names is not None:
+        # the C ABI takes one 10-byte name; per-voice names are verbatim bytes
+        # at 118..127, so stamp them here — same broadcast contract as
+        # sysex.pack_voices ((10,) or (N, 10))
+        raw[:, 118:128] = np.ascontiguousarray(names, dtype=np.uint8)
     return raw
 
 

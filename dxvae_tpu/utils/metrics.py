@@ -42,9 +42,14 @@ class MetricsLogger:
             }
             if self._writer is None:
                 self._csv_path.parent.mkdir(parents=True, exist_ok=True)
-                self._file = open(self._csv_path, "w", newline="")
+                # append so a resumed run (train-on with the same CSV path)
+                # extends the metrics history instead of truncating it;
+                # the header is written only when the file starts empty
+                fresh = not self._csv_path.exists() or self._csv_path.stat().st_size == 0
+                self._file = open(self._csv_path, "a", newline="")
                 self._writer = csv.DictWriter(self._file, fieldnames=list(row))
-                self._writer.writeheader()
+                if fresh:
+                    self._writer.writeheader()
             self._writer.writerow(row)
             self._file.flush()
 

@@ -2,9 +2,13 @@
 
 * :func:`trace` — context manager around ``jax.profiler`` writing an XProf /
   TensorBoard trace directory;
-* :func:`timeit` — block-until-ready timing harness used by bench.py for the
-  patches/sec headline metric (median over repeats, after warmup so compile
-  time is excluded).
+* :func:`timeit` — device-sync timing harness (median over repeats, after
+  warmup so compile time is excluded).  Syncs by READING the outputs back to
+  host (``np.asarray``), not ``block_until_ready`` — on this image's tunneled
+  axon TPU ``block_until_ready`` returns immediately (CLAUDE.md), so readback
+  is the only reliable fence.  Note bench.py does NOT use this: single-call
+  timing on the tunnel carries a ~29 ms fixed readback cost, so the headline
+  uses K-chained programs with two-K differencing instead.
 """
 
 from __future__ import annotations
@@ -25,14 +29,24 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def _sync(out):
+    """Force completion by reading every output leaf back to host.  Works on
+    the axon tunnel where ``block_until_ready`` is a no-op; includes the
+    readback cost (~29 ms fixed on the tunnel) — fine for coarse timing,
+    useless for sub-readback latencies (use K-chaining like bench.py)."""
+    import numpy as np
+
+    jax.tree.map(np.asarray, out)
+
+
 def timeit(fn, *args, warmup: int = 2, repeats: int = 5) -> dict:
     """Run ``fn(*args)`` with device-sync timing.  Returns seconds stats."""
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     return {
         "median_s": statistics.median(times),
