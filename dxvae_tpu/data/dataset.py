@@ -78,7 +78,12 @@ class DXDataset:
     # -- lifecycle ---------------------------------------------------------
     def _process(self) -> GraphBatch:
         raw = np.concatenate([read_syx(f) for f in self.files])  # (n_files*32, 128)
-        params, X, adj = unpack_voices(raw)
+        # native (C++) codec when available, NumPy fallback otherwise — the
+        # two are verified bit-exact against each other (tests/test_native.py)
+        from dxvae_tpu.data import native
+
+        unpack = native.unpack_voices if native.available() else unpack_voices
+        params, X, adj = unpack(raw)
         return GraphBatch(X=X, params=params, adj=adj)
 
     def _save(self) -> None:

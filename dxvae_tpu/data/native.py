@@ -115,8 +115,12 @@ def pack_voices(params: np.ndarray, names: np.ndarray | None = None) -> np.ndarr
     if names is not None:
         # the C ABI takes one 10-byte name; per-voice names are verbatim bytes
         # at 118..127, so stamp them here — same broadcast contract as
-        # sysex.pack_voices ((10,) or (N, 10))
-        raw[:, 118:128] = np.ascontiguousarray(names, dtype=np.uint8)
+        # sysex.pack_voices ((10,) or (N, 10)), including its 7-bit validation
+        # (a byte > 0x7F inside a SysEx message corrupts framing)
+        nm = np.ascontiguousarray(names, dtype=np.uint8)
+        if nm.max(initial=0) > 0x7F:
+            raise ValueError("voice name bytes out of 7-bit SysEx range")
+        raw[:, 118:128] = nm
     return raw
 
 

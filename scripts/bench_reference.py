@@ -47,6 +47,7 @@ def time_reference(batch, steps, gen_batch):
     from dxvae_tpu.data.dataset import DXDataset
 
     b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache")[:batch]
+    batch = len(b.X)  # the dataset may be smaller than requested (1056 patches)
 
     def make_graphs(n):
         G = []
@@ -96,6 +97,7 @@ def time_ours_cpu(batch, steps, gen_batch):
 
     cfg = DXVAEConfig()
     b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache")[:batch]
+    batch = len(b.X)  # clamp to the available patches, same as time_reference
     X = jnp.asarray(b.X)
     P = jnp.asarray(b.params, jnp.float32)
     A = jnp.asarray(b.adj)
@@ -141,6 +143,13 @@ def main():
     import os
 
     n_cpus = os.cpu_count() or 1
+
+    from dxvae_tpu.data.dataset import DXDataset as _DS
+
+    n_avail = len(_DS("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache"))
+    if args.batch > n_avail:
+        print(f"note: --batch clamped to the {n_avail}-patch dataset", file=sys.stderr)
+        args.batch = n_avail
 
     rt_s, rt_pps, ri_s, ri_pps = time_reference(args.batch, args.steps, args.gen_batch)
     ot_s, ot_pps, oi_s, oi_pps = time_ours_cpu(args.batch, args.steps, args.gen_batch)

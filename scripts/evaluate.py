@@ -22,7 +22,6 @@ from dxvae_tpu.graph import GraphBatch
 
 
 def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
-    per_param = (G.params == R.params).mean(axis=(0, 1))
     return {
         "alg_acc": float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean()),
         "edge_acc": float((G.adj == R.adj).mean()),
@@ -60,7 +59,10 @@ def main():
     algs = gen.params[:, 0, 18]
     report["generation"] = {
         "alg_coverage": int(len(np.unique(algs))),
-        "self_loop_rate": float(gen.adj[:, range(7), range(7)].mean()),
+        # operator nodes only: node 0 (global) has no SELF step in the decode
+        # cadence and no algorithm has adj[0,0]=1, so including it would
+        # deflate the rate by 6/7
+        "self_loop_rate": float(gen.adj[:, range(1, 7), range(1, 7)].mean()),
         "mean_edges": float(gen.adj.sum(axis=(1, 2)).mean()),
         # fraction of samples whose generated topology matches some real DX7
         # algorithm exactly (ignoring which one the alg param claims)

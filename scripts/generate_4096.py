@@ -20,6 +20,9 @@ import numpy as np
 
 
 def main():
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # unrolled-program compiles take minutes cold (CLAUDE.md)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=4096)
     ap.add_argument("--checkpoint", default="checkpoints/dx_1024.npz")
@@ -48,12 +51,14 @@ def main():
     )
 
     dec = jax.jit(lambda p, z: decode(p, z, cfg))
+    dec(params, z)  # warm up: compile outside the timed region (CLAUDE.md)
     t0 = time.time()
     X, P, adj = dec(params, z)
-    P = np.asarray(P).astype(np.int32)
+    P = np.asarray(P).astype(np.int32)  # host readback = the sync fence
     dt = time.time() - t0
     print(f"decoded {args.n} patches in {dt:.2f}s "
-          f"({args.n/dt:.0f} patches/sec incl. host transfer) on {len(mesh.devices.flat)} device(s)")
+          f"({args.n/dt:.0f} patches/sec steady-state incl. the ~29 ms fixed "
+          f"host-transfer cost) on {len(mesh.devices.flat)} device(s)")
 
     os.makedirs(args.out_dir, exist_ok=True)
     for k in range(args.n // 32):

@@ -102,11 +102,13 @@ def main():
     enable_persistent_cache()
     from dxvae_tpu.data.dataset import DXDataset
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
+    from dxvae_tpu.models.dxvae import _compute_params
 
     cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    if args.dtype == "bfloat16":
-        params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    # pre-cast with the model's own cast policy (same as bench.py) so the
+    # measured program matches the headline benchmark exactly
+    params = _compute_params(params, cfg)
 
     ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
                    include="synprez")

@@ -42,6 +42,8 @@ P = np.asarray(ds.batch.params, np.int32)
 A = np.asarray(ds.batch.adj, np.float32)
 n = len(ds)
 iters = n // args.batch
+if iters == 0:
+    raise SystemExit(f"--batch {args.batch} exceeds the {n}-patch dataset: zero steps per epoch")
 
 results = {}
 for mode in args.modes:

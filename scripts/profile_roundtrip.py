@@ -18,6 +18,9 @@ import numpy as np
 
 
 def main():
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # unrolled-program compiles take minutes cold (CLAUDE.md)
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--logdir", default="runs/trace")

@@ -38,6 +38,8 @@ P = np.asarray(ds.batch.params, np.int32)
 A = np.asarray(ds.batch.adj, np.float32)
 n = len(ds)
 iters = n // BATCH
+if iters == 0:
+    raise SystemExit(f"--batch {BATCH} exceeds the {n}-patch dataset: zero steps per epoch")
 total_steps = EPOCHS * iters
 
 warmup = min(200, max(1, total_steps // 10))

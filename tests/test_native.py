@@ -33,6 +33,24 @@ def test_native_pack_range_check():
         native.pack_voices(bad)
 
 
+def test_native_pack_per_voice_names(bank_files):
+    """Per-voice names must match the NumPy codec byte-for-byte (the C ABI
+    takes one name; the wrapper stamps the rest) and reject non-7-bit bytes."""
+    raw = sysex.read_syx(bank_files[0])
+    p, _, _ = sysex.unpack_voices(raw)
+    rng = np.random.default_rng(0)
+    names = rng.integers(32, 127, (len(p), 10)).astype(np.uint8)
+    np.testing.assert_array_equal(
+        native.pack_voices(p, names=names), sysex.pack_voices(p, names=names)
+    )
+    one = np.frombuffer(b"TESTNAME..", np.uint8)
+    np.testing.assert_array_equal(
+        native.pack_voices(p, names=one), sysex.pack_voices(p, names=one)
+    )
+    with pytest.raises(ValueError):
+        native.pack_voices(p, names=np.full((10,), 0xC8, np.uint8))
+
+
 def test_native_checksum(bank_files):
     raw = sysex.read_syx(bank_files[0])
     payload = sysex.pack_voices(sysex.unpack_voices(raw)[0]).ravel()
