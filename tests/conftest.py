@@ -23,9 +23,22 @@ import pytest
 REFERENCE_DATA = "/root/reference/DX_data"
 
 
-@pytest.fixture(scope="session")
-def rng():
-    return np.random.default_rng(0)
+def run_parity_subprocess(code: str):
+    """Run a parity snippet in a fresh CPU-forced interpreter and assert it
+    prints OK (shared by the f64 oracle test and the verbatim-reference
+    tests — one place owns the subprocess environment contract)."""
+    import os
+    import subprocess
+    import sys
+
+    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    env.update({k: v for k, v in os.environ.items() if k not in env})
+    r = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd="/root/repo", env=env,
+    )
+    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout[-2000:], r.stderr[-4000:])
+    return r.stdout
 
 
 @pytest.fixture(scope="session")

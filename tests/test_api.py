@@ -90,8 +90,10 @@ def test_train_one_epoch_api(dataset, tmp_path, capsys):
     assert "Finished Training" in out
     assert ck.exists()
 
-    loss_after = float(model.forward(G)[0])
-    fresh = float(DXVAE(seed=1).forward(G)[0])
+    # compare in eval mode (deterministic posterior-mean loss): training-mode
+    # rsample noise after only one epoch could otherwise flip the inequality
+    loss_after = float(model.eval().forward(G)[0])
+    fresh = float(DXVAE(seed=1).eval().forward(G)[0])
     assert loss_after < fresh
 
 
@@ -152,20 +154,24 @@ def test_metrics_csv_appends_on_resume(tmp_path):
 
 
 def test_trained_checkpoint_quality(dataset):
-    """The shipped trained checkpoint (reference recipe, 50 epochs) must beat
-    chance by a wide margin on training-set reconstruction."""
+    """EVERY shipped trained checkpoint must beat chance by a wide margin on
+    training-set reconstruction — covering the flagship artifacts users load
+    (dx_1024_xl is evaluate.py's default), not just the recipe baseline.
+    Fails (not skips) if no checkpoint is present at all."""
+    import glob
     import os
 
-    ck = "/root/repo/checkpoints/dx_1024.npz"
-    if not os.path.exists(ck):
-        pytest.skip("trained checkpoint not present")
-    model = DXVAE(checkpoint=ck)
+    cks = sorted(glob.glob("/root/repo/checkpoints/dx_1024*.npz"))
+    assert cks, "no shipped checkpoints found under /root/repo/checkpoints"
     G = dataset[:128]
-    R = model.encode_decode(G)
-    alg_acc = float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
-    edge_acc = float((G.adj == R.adj).mean())
-    assert alg_acc > 0.8, alg_acc    # measured 0.98 at save time
-    assert edge_acc > 0.8, edge_acc  # measured 0.89 at save time
+    for ck in cks:
+        model = DXVAE(checkpoint=ck)
+        R = model.encode_decode(G)
+        alg_acc = float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
+        edge_acc = float((G.adj == R.adj).mean())
+        name = os.path.basename(ck)
+        assert alg_acc > 0.8, (name, alg_acc)    # recipe baseline measured 0.98
+        assert edge_acc > 0.8, (name, edge_acc)  # recipe baseline measured 0.89
 
 
 def test_encode_returns_normal_like(model, G8):

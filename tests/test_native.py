@@ -58,15 +58,23 @@ def test_native_checksum(bank_files):
 
 
 def test_native_roundtrip_speed(bank_files):
-    """The native codec must beat NumPy on bulk decode (sanity, not a bench)."""
+    """Sanity bound, not a benchmark: the native codec must not be a dramatic
+    regression vs NumPy on bulk decode (min-of-3 each to ride out scheduler
+    noise; it is usually much faster, but a one-shot wall-clock race would be
+    flaky on a loaded host)."""
     import time
 
     raw = np.concatenate([sysex.read_syx(f) for f in bank_files])
     raw = np.tile(raw, (8, 1))  # ~8.4k voices
-    t0 = time.perf_counter()
-    native.unpack_voices(raw)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sysex.unpack_voices(raw)
-    t_numpy = time.perf_counter() - t0
-    assert t_native < t_numpy * 2.0, (t_native, t_numpy)  # no regression; usually much faster
+
+    def best_of(fn, k=3):
+        ts = []
+        for _ in range(k):
+            t0 = time.perf_counter()
+            fn(raw)
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_native = best_of(native.unpack_voices)
+    t_numpy = best_of(sysex.unpack_voices)
+    assert t_native < t_numpy * 2.0, (t_native, t_numpy)

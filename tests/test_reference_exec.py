@@ -21,23 +21,13 @@ tests close that gap (VERDICT r1 "Next round" #1 and #6):
   1%" gate — measured at ~1e-12 relative, with final weights matching.
 """
 
-import subprocess
 import sys
 
 import numpy as np
 import pytest
 
 
-def _run_subprocess(code: str):
-    import os
-
-    env = {"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin:/usr/local/bin"}
-    env.update({k: v for k, v in os.environ.items() if k not in env})
-    r = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, cwd="/root/repo", env=env
-    )
-    assert r.returncode == 0 and "OK" in r.stdout, (r.stdout[-2000:], r.stderr[-4000:])
-    return r.stdout
+from conftest import run_parity_subprocess as _run_subprocess
 
 
 # --------------------------------------------------------------------------- #
