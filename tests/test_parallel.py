@@ -100,6 +100,17 @@ def test_dryrun_multichip_entrypoint():
     ge.dryrun_multichip(8)  # raises on failure
 
 
+def test_dryrun_multichip_odd_device_count():
+    """Odd device counts fall back to a pure data-parallel mesh (n_model=1):
+    the driver may probe counts other than 8."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(5)  # 5x1 mesh; raises on failure
+
+
 def test_mesh_validation():
     with pytest.raises(ValueError):
         make_mesh(n_data=3, n_model=2, devices=jax.devices()[:4])
