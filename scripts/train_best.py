@@ -26,11 +26,15 @@ ap.add_argument("--peak-lr", type=float, default=1e-3)
 ap.add_argument("--size-h", type=int, default=512)
 ap.add_argument("--size-z", type=int, default=128)
 ap.add_argument("--checkpoint", default="checkpoints/dx_1024_best.npz")
+ap.add_argument("--w-kld", type=float, default=0.002,
+                help="KL weight: 0.002 (default) optimizes reconstruction; "
+                     "higher values (e.g. 0.01) tighten the posterior toward "
+                     "the prior for better prior-sample generation")
 args = ap.parse_args()
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
 cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
-weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=0.002)
+weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
 ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_best_cache", include="synprez")
 X = np.asarray(ds.batch.X, np.float32)
