@@ -39,6 +39,10 @@ def main() -> int:
                          "for reference-parity numerics; bfloat16_mixed keeps f32 "
                          "activation islands (training-quality mode)")
     ap.add_argument("--scan", action="store_true", help="use the scan execution path")
+    ap.add_argument("--mode", default="roundtrip",
+                    choices=["roundtrip", "encode", "decode"],
+                    help="roundtrip (headline) or the encode-only / decode-only "
+                         "split (serving: latent indexing vs generation)")
     args = ap.parse_args()
 
     import jax
@@ -69,18 +73,49 @@ def main() -> int:
 
     X, adj = jnp.asarray(X), jnp.asarray(adj.astype(np.float32))
 
-    @jax.jit
-    def run(params, X, adj, k):
-        # traced trip count: ONE compiled program serves every K, so the
-        # two-K difference cancels fixed overheads exactly
-        def body(_, carry):
-            x, a, acc = carry
-            mu, _, _ = encode(params, x, a, cfg)
-            xn, pn, an = decode(params, mu, cfg)
-            return (xn, an, acc + pn.sum())
+    # traced trip count: ONE compiled program serves every K, so the two-K
+    # difference cancels fixed overheads exactly; every mode carries a data
+    # dependence so no iteration can be dead-code-eliminated
+    if args.mode == "roundtrip":
 
-        _, _, acc = jax.lax.fori_loop(0, k, body, (X, adj, jnp.zeros((), X.dtype)))
-        return acc
+        @jax.jit
+        def run(params, X, adj, k):
+            def body(_, carry):
+                x, a, acc = carry
+                mu, _, _ = encode(params, x, a, cfg)
+                xn, pn, an = decode(params, mu, cfg)
+                return (xn, an, acc + pn.sum())
+
+            _, _, acc = jax.lax.fori_loop(0, k, body, (X, adj, jnp.zeros((), X.dtype)))
+            return acc
+
+    elif args.mode == "encode":
+
+        @jax.jit
+        def run(params, X, adj, k):
+            def body(_, carry):
+                x, acc = carry
+                mu, std, _ = encode(params, x, adj, cfg)
+                xn = x + 1e-30 * mu.sum()  # data dependence only; value unchanged
+                return (xn, acc + std.sum())
+
+            _, acc = jax.lax.fori_loop(0, k, body, (X, jnp.zeros((), X.dtype)))
+            return acc
+
+    else:  # decode
+
+        @jax.jit
+        def run(params, X, adj, k):
+            mu, _, _ = encode(params, X, adj, cfg)  # realistic latents, once
+
+            def body(_, carry):
+                z, acc = carry
+                _, pn, _ = decode(params, z, cfg)
+                zn = z + 1e-30 * pn.sum()
+                return (zn, acc + pn.sum())
+
+            _, acc = jax.lax.fori_loop(0, k, body, (mu, jnp.zeros((), X.dtype)))
+            return acc
 
     def timed(k):
         ts = []
@@ -107,10 +142,15 @@ def main() -> int:
         )
     pps = n / per_iter
 
+    metric = {
+        "roundtrip": "patches_per_sec_encode_decode_b1024",  # driver contract
+        "encode": f"patches_per_sec_encode_only_b{n}",
+        "decode": f"patches_per_sec_decode_only_b{n}",
+    }[args.mode]
     print(
         json.dumps(
             {
-                "metric": "patches_per_sec_encode_decode_b1024",
+                "metric": metric,
                 "value": round(pps, 1),
                 "unit": "patches/sec",
                 "vs_baseline": round(pps / 50_000.0, 4),
