@@ -34,6 +34,20 @@ def _load_graphs(args) -> GraphBatch:
     return ds.batch
 
 
+def _model_for(chk, seed=0):
+    """DXVAE sized to fit ``chk``: model sizes are inferred from the stored
+    tensor shapes of an existing .npz, so non-default checkpoints (e.g. the
+    44M dx_h1024) load from the CLI without flags."""
+    from pathlib import Path
+
+    if chk is not None and Path(chk).suffix == ".npz" and Path(chk).exists():
+        from dxvae_tpu.utils.checkpoint import infer_sizes
+
+        size_h, size_z = infer_sizes(chk)
+        return DXVAE(size_H=size_h, size_Z=size_z, checkpoint=chk, seed=seed)
+    return DXVAE(checkpoint=chk, seed=seed)
+
+
 def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
     model = DXVAE(seed=seed)
     model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
@@ -41,13 +55,13 @@ def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw)
 
 
 def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
-    model = DXVAE(checkpoint=chk, seed=seed)
+    model = _model_for(chk, seed)
     model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
     return model
 
 
 def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
-    model = DXVAE(checkpoint=chk, seed=seed)
+    model = _model_for(chk, seed)
     G_de = model.encode_decode(G_en, stochastic=stochastic)
     if printout:
         print("[ Encode ]")
@@ -58,7 +72,7 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 
 def generate_test(n=1, chk=None, printout=True, seed=0):
-    model = DXVAE(checkpoint=chk, seed=seed)
+    model = _model_for(chk, seed)
     G_gen = model.generate(n)
     if printout:
         print("[ Generate ]")
@@ -67,7 +81,7 @@ def generate_test(n=1, chk=None, printout=True, seed=0):
 
 
 def forward_test(G, chk=None):
-    model = DXVAE(checkpoint=chk)
+    model = _model_for(chk)
     loss, lx0, lxi, le, kld = model.forward(G)
     print(
         f"loss: {float(loss):.4f}\tx0: {float(lx0):.4f}\txi: {float(lxi):.4f}"

@@ -176,6 +176,14 @@ def export_torch_state_dict(params) -> dict:
     return sd
 
 
+def infer_sizes(path) -> tuple[int, int]:
+    """(size_h, size_z) read off the stored tensor shapes of an .npz
+    checkpoint — lets tools load non-default model sizes without flags."""
+    with np.load(Path(path)) as z:
+        flat = {k[2:]: z[k] for k in z.files}
+    return int(flat["params/enc_combiner/w_hh"].shape[1]), int(flat["params/h_to_mu/w"].shape[0])
+
+
 def convert_checkpoint(src, dst) -> None:
     """Two-way checkpoint conversion between this framework's ``.npz`` and the
     reference's torch ``.chk`` state_dict format (model.py:388), so users can
@@ -188,10 +196,7 @@ def convert_checkpoint(src, dst) -> None:
 
     src, dst = Path(src), Path(dst)
     if src.suffix == ".npz":
-        with np.load(src) as z:
-            flat = {k[2:]: z[k] for k in z.files}
-        w_hh = flat["params/enc_combiner/w_hh"]  # torch layout (3H, H)
-        size_h, size_z = w_hh.shape[1], flat["params/h_to_mu/w"].shape[0]
+        size_h, size_z = infer_sizes(src)
         template = init_params(jax.random.PRNGKey(0), DXVAEConfig(size_h=size_h, size_z=size_z))
         params = load_checkpoint(src, template)
         sd = {k: torch.from_numpy(v.copy()) for k, v in export_torch_state_dict(params).items()}

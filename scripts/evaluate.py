@@ -48,7 +48,10 @@ def main():
                 if bytes(p.tobytes()) not in train_keys]
     held = full[np.asarray(held_idx)] if held_idx else None
 
-    model = DXVAE(checkpoint=args.checkpoint)
+    from dxvae_tpu.utils.checkpoint import infer_sizes
+
+    size_h, size_z = infer_sizes(args.checkpoint)
+    model = DXVAE(size_H=size_h, size_Z=size_z, checkpoint=args.checkpoint)
     report = {"checkpoint": args.checkpoint}
     report["train"] = reconstruction_metrics(train.batch, model.encode_decode(train.batch))
     if held is not None and len(held):
