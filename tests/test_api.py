@@ -161,11 +161,14 @@ def test_trained_checkpoint_quality(dataset):
     import glob
     import os
 
-    cks = sorted(glob.glob("/root/repo/checkpoints/dx_1024*.npz"))
+    from dxvae_tpu.utils.checkpoint import infer_sizes
+
+    cks = sorted(glob.glob("/root/repo/checkpoints/dx_*.npz"))
     assert cks, "no shipped checkpoints found under /root/repo/checkpoints"
     G = dataset[:128]
     for ck in cks:
-        model = DXVAE(checkpoint=ck)
+        size_h, size_z = infer_sizes(ck)
+        model = DXVAE(size_H=size_h, size_Z=size_z, checkpoint=ck)
         R = model.encode_decode(G)
         alg_acc = float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
         edge_acc = float((G.adj == R.adj).mean())
