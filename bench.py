@@ -143,17 +143,23 @@ def main() -> int:
     pps = n / per_iter
 
     metric = {
-        "roundtrip": "patches_per_sec_encode_decode_b1024",  # driver contract
+        "roundtrip": f"patches_per_sec_encode_decode_b{n}",  # b1024 = driver contract
         "encode": f"patches_per_sec_encode_only_b{n}",
         "decode": f"patches_per_sec_decode_only_b{n}",
     }[args.mode]
+    # vs_baseline only exists for the headline roundtrip at batch 1024 (the
+    # 50k target is defined for that workload); split modes / other batches
+    # report null rather than a meaningless ratio
+    vs_baseline = (
+        round(pps / 50_000.0, 4) if args.mode == "roundtrip" and n == 1024 else None
+    )
     print(
         json.dumps(
             {
                 "metric": metric,
                 "value": round(pps, 1),
                 "unit": "patches/sec",
-                "vs_baseline": round(pps / 50_000.0, 4),
+                "vs_baseline": vs_baseline,
             }
         )
     )

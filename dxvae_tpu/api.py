@@ -39,20 +39,45 @@ from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint,
 from dxvae_tpu.utils.metrics import MetricsLogger
 
 
-from typing import NamedTuple
+class _KeyStream:
+    """Split-on-demand PRNG key stream (module-level fallback for ``Normal``
+    objects constructed outside a :class:`DXVAE`)."""
+
+    def __init__(self, seed: int = 0):
+        self._key = jax.random.PRNGKey(seed)
+
+    def __call__(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
 
 
-class Normal(NamedTuple):
+_DEFAULT_KEYS = _KeyStream()
+
+
+class Normal:
     """Minimal torch.distributions.Normal stand-in returned by ``encode``.
 
     Unpacks as ``(mu, std)`` and exposes ``.loc`` / ``.scale`` / ``.sample`` /
     ``.rsample`` so reference-style code keeps working (model.py:209-212,
-    255-260)."""
+    255-260).  ``sample()`` with no argument draws from an internal key stream
+    (the owning model's, when produced by :meth:`DXVAE.encode`) so the
+    reference driver's no-arg call sites (main.py:28, model.py:257-260) work
+    verbatim; pass an explicit PRNG ``key`` for reproducible draws."""
 
-    loc: jnp.ndarray
-    scale: jnp.ndarray
+    def __init__(self, loc, scale, key_stream=None):
+        self.loc = loc
+        self.scale = scale
+        self._keys = key_stream or _DEFAULT_KEYS
 
-    def sample(self, key):
+    def __iter__(self):  # unpacks as (mu, std), like the (loc, scale) tuple
+        return iter((self.loc, self.scale))
+
+    def __repr__(self):
+        return f"Normal(loc={self.loc!r}, scale={self.scale!r})"
+
+    def sample(self, key=None):
+        if key is None:
+            key = self._keys()
         return self.loc + self.scale * jax.random.normal(key, self.loc.shape, self.loc.dtype)
 
     rsample = sample
@@ -164,7 +189,7 @@ class DXVAE:
         (model.py:200-212)."""
         X, _, adj = self._as_arrays(G)
         mu, std = self._encode_jit(self.params, X, adj)
-        return Normal(mu, std)
+        return Normal(mu, std, key_stream=self._next_key)
 
     def decode(self, z) -> GraphBatch:
         """Latents -> generated graphs (model.py:214-253). Deterministic given z."""
@@ -212,6 +237,7 @@ class DXVAE:
         w_frq: float = 5.0,
         w_kld: float = 0.01,
         metrics_csv: str | None = None,
+        metrics_append: bool = False,
         extra_epoch: bool = True,
         n_data: int | None = None,
         shuffle_seed: int | None = None,
@@ -262,7 +288,7 @@ class DXVAE:
             )
         mesh = make_mesh(n_data=n_data)
         sharding = batch_sharding(mesh)
-        log = MetricsLogger(metrics_csv)
+        log = MetricsLogger(metrics_csv, append=metrics_append)
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
 
         total_epochs = epochs + 1 if extra_epoch else epochs

@@ -196,6 +196,8 @@ def main(argv=None) -> int:
             G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,
             cfg.w_env, cfg.w_frq, cfg.w_kld, seed=cfg.seed,
             metrics_csv=cfg.metrics_csv, extra_epoch=cfg.extra_epoch,
+            # a resumed run extends its CSV history; a fresh one truncates
+            metrics_append=(args.cmd == "train-on"),
             n_data=cfg.n_data, save_every=cfg.save_every_epochs,
         )
     elif args.cmd == "decode-test":

@@ -117,10 +117,13 @@ def pack_voices(params: np.ndarray, names: np.ndarray | None = None) -> np.ndarr
         # at 118..127, so stamp them here — same broadcast contract as
         # sysex.pack_voices ((10,) or (N, 10)), including its 7-bit validation
         # (a byte > 0x7F inside a SysEx message corrupts framing)
-        nm = np.ascontiguousarray(names, dtype=np.uint8)
-        if nm.max(initial=0) > 0x7F:
+        # validate BEFORE the uint8 cast (mirroring sysex.pack_voices): int
+        # inputs >= 256 or negative would wrap modulo 256 and could silently
+        # pass a post-cast 7-bit check
+        nm = np.asarray(names)
+        if nm.size and (nm.min() < 0 or nm.max() > 0x7F):
             raise ValueError("voice name bytes out of 7-bit SysEx range")
-        raw[:, 118:128] = nm
+        raw[:, 118:128] = np.ascontiguousarray(nm, dtype=np.uint8)
     return raw
 
 

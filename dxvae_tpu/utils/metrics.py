@@ -13,9 +13,14 @@ from pathlib import Path
 
 
 class MetricsLogger:
-    def __init__(self, csv_path: str | None = None, stdout: bool = True):
+    def __init__(self, csv_path: str | None = None, stdout: bool = True,
+                 append: bool = False):
+        """``append=True`` extends an existing CSV (resumed training run);
+        the default truncates, so a fresh run pointed at an old metrics file
+        does not silently concatenate unrelated run histories."""
         self.stdout = stdout
         self._csv_path = Path(csv_path) if csv_path else None
+        self._append = append
         self._writer = None
         self._file = None
         self._t0 = time.perf_counter()
@@ -42,11 +47,13 @@ class MetricsLogger:
             }
             if self._writer is None:
                 self._csv_path.parent.mkdir(parents=True, exist_ok=True)
-                # append so a resumed run (train-on with the same CSV path)
-                # extends the metrics history instead of truncating it;
-                # the header is written only when the file starts empty
-                fresh = not self._csv_path.exists() or self._csv_path.stat().st_size == 0
-                self._file = open(self._csv_path, "a", newline="")
+                # append only when the caller says this is a resume (train-on
+                # with the same CSV path); the header is written only when the
+                # file starts empty
+                fresh = (not self._append or not self._csv_path.exists()
+                         or self._csv_path.stat().st_size == 0)
+                self._file = open(self._csv_path, "a" if self._append else "w",
+                                  newline="")
                 self._writer = csv.DictWriter(self._file, fieldnames=list(row))
                 if fresh:
                     self._writer.writeheader()

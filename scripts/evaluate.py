@@ -64,8 +64,10 @@ def main():
         "alg_coverage": int(len(np.unique(algs))),
         # operator nodes only: node 0 (global) has no SELF step in the decode
         # cadence and no algorithm has adj[0,0]=1, so including it would
-        # deflate the rate by 6/7
-        "self_loop_rate": float(gen.adj[:, range(1, 7), range(1, 7)].mean()),
+        # deflate the rate by 6/7.  Renamed from round-1's "self_loop_rate"
+        # (which averaged the full diagonal, ~6/7 of this value) so earlier
+        # recorded numbers are not silently incommensurate
+        "op_self_loop_rate": float(gen.adj[:, range(1, 7), range(1, 7)].mean()),
         "mean_edges": float(gen.adj.sum(axis=(1, 2)).mean()),
         # fraction of samples whose generated topology matches some real DX7
         # algorithm exactly (ignoring which one the alg param claims)

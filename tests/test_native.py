@@ -49,6 +49,13 @@ def test_native_pack_per_voice_names(bank_files):
     )
     with pytest.raises(ValueError):
         native.pack_voices(p, names=np.full((10,), 0xC8, np.uint8))
+    # int inputs that would wrap modulo 256 under a uint8 cast (e.g. 256 -> 0)
+    # must be rejected the same way the NumPy codec rejects them (ADVICE r2)
+    for bad in (np.full((10,), 256, np.int64), np.full((10,), -1, np.int64)):
+        with pytest.raises(ValueError):
+            native.pack_voices(p, names=bad)
+        with pytest.raises(ValueError):
+            sysex.pack_voices(p, names=bad)
 
 
 def test_native_checksum(bank_files):
