@@ -13,6 +13,17 @@ is chained K times inside ONE jitted call with a data-dependent carry
 scalar so no path is dead-code-eliminated), synced by fetching the scalar.
 Per-iteration time = (T(K_hi) - T(K_lo)) / (K_hi - K_lo), which cancels the
 fixed overhead exactly.
+
+Variance normalization (VERDICT r2 #1): the tunneled chip shows ±10-30%
+session-to-session swings (docs/PERF.md), so the headline roundtrip also runs
+a same-session bare-matmul calibration with the identical methodology and
+emits ``calibration_tflops`` + ``mfu_vs_session`` (roundtrip-implied TFLOP/s /
+independent-matmul TFLOP/s).  Interpretation: a patches/sec drop at constant
+mfu_vs_session is the chip/session, not the code — BENCH_r01 742k vs BENCH_r02
+648k was exactly such a swing.  The ratio sits slightly above 1.0 (~1.2):
+the model's matmul mix includes 4H-wide shapes that beat the single 3H
+calibration shape, so this is a session-normalized throughput ratio, not a
+true utilization fraction (docs/PERF.md has the true MFU accounting).
 """
 
 from __future__ import annotations
@@ -43,6 +54,11 @@ def main() -> int:
                     choices=["roundtrip", "encode", "decode"],
                     help="roundtrip (headline) or the encode-only / decode-only "
                          "split (serving: latent indexing vs generation)")
+    ap.add_argument("--no-calibration", action="store_true",
+                    help="skip the same-session matmul calibration (quick runs)")
+    ap.add_argument("--raw-dir", default=None,
+                    help="bank directory (default: $DXVAE_RAW_DIR or the "
+                         "reference mount)")
     args = ap.parse_args()
 
     import jax
@@ -52,7 +68,7 @@ def main() -> int:
 
     enable_persistent_cache()
 
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
     from dxvae_tpu.models.dxvae import _compute_params
 
@@ -63,8 +79,8 @@ def main() -> int:
     # chained fori, costing ~0.3 ms per iteration
     params = _compute_params(params, cfg)
 
-    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
-                   include="synprez")
+    ds = DXDataset(args.raw_dir or default_raw_dir(),
+                   save_dir="/tmp/dxvae_bench_cache", include="synprez")
     b = ds.batch
     n = args.batch
     reps = int(np.ceil(n / len(b.X)))
@@ -153,16 +169,30 @@ def main() -> int:
     vs_baseline = (
         round(pps / 50_000.0, 4) if args.mode == "roundtrip" and n == 1024 else None
     )
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(pps, 1),
-                "unit": "patches/sec",
-                "vs_baseline": vs_baseline,
-            }
+    record = {
+        "metric": metric,
+        "value": round(pps, 1),
+        "unit": "patches/sec",
+        "vs_baseline": vs_baseline,
+    }
+
+    if args.mode == "roundtrip" and not args.no_calibration:
+        # same-session variance normalization: bare-matmul achievable TFLOP/s
+        # measured with the identical chained methodology; a patches/sec move
+        # at constant mfu_vs_session is chip-session variance, not code
+        from dxvae_tpu.utils.calibration import (
+            analytic_roundtrip_flops,
+            matmul_calibration,
         )
-    )
+
+        calib = matmul_calibration(n, cfg.size_h, args.dtype,
+                                   repeats=args.repeats)
+        model_tflops = analytic_roundtrip_flops(cfg) * pps / 1e12
+        record["model_tflops"] = round(model_tflops, 2)
+        record["calibration_tflops"] = calib
+        record["mfu_vs_session"] = round(model_tflops / calib["independent"], 4)
+
+    print(json.dumps(record))
     print(
         f"# per-roundtrip {per_iter*1e3:.3f} ms (estimates: "
         f"{[round(e*1e3, 3) for e in estimates]}) | batch {n} | dtype {args.dtype} | "

@@ -29,47 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-V5E_BF16_PEAK = 197e12  # TPU v5e (lite) peak bf16 FLOP/s
-V5E_F32_PEAK = 98.5e12
-
-
-def analytic_roundtrip_macs(cfg) -> dict:
-    """Matmul MACs per patch for one encode+decode roundtrip, by category.
-
-    Enumerates the cadence exactly as implemented (dxvae.py): encode visits 7
-    nodes (6 combiner+looper pairs + 1 rooter) and caches projections per
-    node; decode runs 1 rooter + 33 combiner+looper propagates (SURVEY.md
-    §3.1: node vi refreshed vi+2 times), per-node caches (projection pack +
-    edge-head half) computed once per finalized node, 6 node heads, 6
-    self-loop heads, 21 cached-split edge heads.
-    """
-    h, z, x, x0, n = cfg.size_h, cfg.size_z, cfg.size_x, cfg.size_x0, cfg.n_nodes
-    gru = (x + h) * 3 * h          # combiner or looper: x@W_ih + h@W_hh
-    gru_root = (x0 + h) * 3 * h
-    proj_pack = h * 4 * h          # hidden -> [gate_f, gate_b, map_f, map_b]
-    eh_half = h * 4 * h            # hidden -> edge-head W1b half (4H wide)
-    n_ops = n - 1                  # 6 operator nodes
-    n_props_dec = sum(vi + 2 for vi in range(1, n))  # 33
-    n_edges = sum(vi for vi in range(1, n))          # 21
-
-    enc = {
-        "encode GRUs": n_ops * 2 * gru + gru_root,
-        "encode projection caches": n * proj_pack,
-        "posterior heads": 2 * h * z,
-    }
-    dec = {
-        "z_to_h": z * h,
-        "x0 head": h * 2 * h + 2 * h * 2 * h + 2 * h * (x0 + 32),
-        "decode rooter": gru_root,
-        "decode GRUs": n_props_dec * 2 * gru,
-        "node caches (proj + edge half)": n_ops * (proj_pack + eh_half),
-        "x head": n_ops * (h * 2 * h + 2 * h * 2 * h + 2 * h * x),
-        "self-loop head": n_ops * (h * 2 * h + 2 * h * 1),
-        "edge head (cached split)": n_edges * (h * 4 * h + 4 * h * 2),
-    }
-    out = {**enc, **dec}
-    out["TOTAL"] = sum(out.values())
-    return out
+from dxvae_tpu.utils.calibration import (  # single source shared with bench.py
+    V5E_BF16_PEAK,
+    V5E_F32_PEAK,
+    analytic_roundtrip_macs,
+    matmul_calibration,
+)
 
 
 def fit_slope(ks, ts):
@@ -92,6 +57,7 @@ def main():
     ap.add_argument("--ks", type=int, nargs="+", default=[1, 2, 4, 6, 8, 10])
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +66,7 @@ def main():
     from dxvae_tpu.utils.profiling import enable_persistent_cache
 
     enable_persistent_cache()
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
     from dxvae_tpu.models.dxvae import _compute_params
 
@@ -110,8 +76,8 @@ def main():
     # measured program matches the headline benchmark exactly
     params = _compute_params(params, cfg)
 
-    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dxvae_bench_cache",
-                   include="synprez")
+    ds = DXDataset(args.raw_dir or default_raw_dir(),
+                   save_dir="/tmp/dxvae_bench_cache", include="synprez")
     b = ds.batch
     n = args.batch
     reps = int(np.ceil(n / len(b.X)))
@@ -172,55 +138,13 @@ def main():
     pps = n / slope
 
     # ---- 4. pure-matmul calibration: what can this chip + estimator deliver?
+    # (shared implementation with bench.py's mfu_vs_session normalization;
+    # large Ks so the K-difference dwarfs the tunnel's ~±3 ms readback jitter)
     h = cfg.size_h
-    dt = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    w = jax.random.normal(jax.random.PRNGKey(1), (h, 3 * h), dt)
-    v = jax.random.normal(jax.random.PRNGKey(2), (n, h), dt)
-
-    @jax.jit
-    def mm_chain(v, w, k):
-        # dependent chain: each matmul consumes the previous result —
-        # single-stream latency bound (the model's sequential depth regime)
-        def body(_, carry):
-            x, acc = carry
-            y = x @ w
-            xn = y[:, :h] * 1e-3 + x  # keep magnitude bounded, carry dependence
-            return (xn, acc + y.sum())
-
-        _, acc = jax.lax.fori_loop(0, k, body, (v, jnp.zeros((), jnp.float32)))
-        return acc
-
-    @jax.jit
-    def mm_indep(v, w, k):
-        # independent matmuls: only the tiny reduction chains — achievable
-        # matmul THROUGHPUT upper bound for this shape
-        def body(i, acc):
-            # cast the feedback term back to v's dtype: a strongly-typed f32
-            # acc would otherwise promote the whole matmul to f32 and the
-            # bf16 calibration would silently measure f32 matmuls
-            y = (v + (acc * 1e-20).astype(v.dtype)) @ w
-            return acc + y.sum()
-
-        return jax.lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
-
     mm_flops = 2.0 * n * h * 3 * h
-    calib = {}
-    for label, fn in (("dependent-chain", mm_chain), ("independent", mm_indep)):
-        float(fn(v, w, 1))
-        # large Ks: at ~7-12 us/matmul the K-difference must dwarf the ~±3 ms
-        # readback jitter of the tunnel, or the two-K estimate can go negative
-        KS = [512, 4096]
-        mts = []
-        for k in KS:
-            ts = []
-            for _ in range(args.repeats):
-                t0 = time.perf_counter()
-                float(fn(v, w, k))
-                ts.append(time.perf_counter() - t0)
-            mts.append(min(ts))
-        mm_t = (mts[1] - mts[0]) / (KS[1] - KS[0])
-        mm_tfs = mm_flops / mm_t / 1e12
-        calib[label] = round(mm_tfs, 1)
+    calib = matmul_calibration(n, h, args.dtype, repeats=args.repeats)
+    for label, mm_tfs in calib.items():
+        mm_t = mm_flops / (mm_tfs * 1e12)
         print(f"calibration ({label}): ({n},{h})@({h},{3*h}) {args.dtype}: "
               f"{mm_t*1e6:.2f} us/matmul = {mm_tfs:.1f} TFLOP/s "
               f"({mm_tfs*1e12/peak*100:.0f}% of peak)")
@@ -237,6 +161,11 @@ def main():
         "mfu_analytic": round(mfu_analytic, 4),
         "mfu_xla_flops": round(mfu_xla, 4),
         "matmul_calibration_tflops": calib,
+        # fraction of the same-session achievable matmul throughput — the
+        # session-variance-normalized figure of merit (see bench.py)
+        "mfu_vs_session": round(
+            per_patch_flops * pps / 1e12 / calib["independent"], 4
+        ),
     }))
 
 
