@@ -25,15 +25,17 @@ import numpy as np
 from dxvae_tpu.data.dataset import DXDataset  # noqa: F401  (re-export)
 from dxvae_tpu.data.sysex import params_to_syx_file
 from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.data.algorithms import project_topology as _project_topology
 from dxvae_tpu.models import (
     DXVAEConfig,
     LossWeights,
+    alg_head_logits as _alg_head_logits,
     decode as _decode,
     elbo_loss as _elbo_loss,
     encode as _encode,
     init_params,
 )
-from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh
+from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_optimizer, make_train_step
 from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
 from dxvae_tpu.utils.metrics import MetricsLogger
@@ -126,6 +128,7 @@ class DXVAE:
         cfg = self.cfg
         self._encode_jit = jax.jit(lambda p, X, adj: _encode(p, X, adj, cfg)[:2])
         self._decode_jit = jax.jit(lambda p, z: _decode(p, z, cfg))
+        self._alg_logits_jit = jax.jit(lambda p, z: _alg_head_logits(p, z, cfg))
 
         def _fwd(params, X, P, adj, key, w_env, w_frq, w_kld, training):
             mu, std, st = _encode(params, X, adj, cfg)
@@ -191,26 +194,41 @@ class DXVAE:
         mu, std = self._encode_jit(self.params, X, adj)
         return Normal(mu, std, key_stream=self._next_key)
 
-    def decode(self, z) -> GraphBatch:
-        """Latents -> generated graphs (model.py:214-253). Deterministic given z."""
-        X, P, adj = self._decode_jit(self.params, jnp.asarray(z, jnp.float32))
-        return GraphBatch(
-            X=np.asarray(X), params=np.asarray(P).astype(np.int32), adj=np.asarray(adj)
-        )
+    def decode(self, z, project_topology: bool = False) -> GraphBatch:
+        """Latents -> generated graphs (model.py:214-253). Deterministic given z.
 
-    def encode_decode(self, G_true: GraphBatch, stochastic: bool = False) -> GraphBatch:
+        ``project_topology=True`` (beyond-reference) snaps each generated
+        adjacency to the nearest valid DX7 algorithm — min Hamming distance
+        over the 32 hardware routings, ties broken by the decoder's own
+        algorithm-head logits — and sets the alg param to match, so every
+        exported bank is hardware-realizable topology."""
+        z = jnp.asarray(z, jnp.float32)
+        X, P, adj = self._decode_jit(self.params, z)
+        X = np.asarray(X)
+        P = np.asarray(P).astype(np.int32)
+        adj = np.asarray(adj)
+        if project_topology:
+            logits = np.asarray(self._alg_logits_jit(self.params, z), np.float64)
+            adj, alg = _project_topology(adj, alg_scores=logits)
+            P = P.copy()
+            P[:, 0, 18] = alg.astype(np.int32)
+        return GraphBatch(X=X, params=P, adj=adj)
+
+    def encode_decode(self, G_true: GraphBatch, stochastic: bool = False,
+                      project_topology: bool = False) -> GraphBatch:
         """Round trip through the posterior mean (or a sample) (model.py:255-262)."""
         mu, std = self.encode(G_true)
         if stochastic:
             z = mu + std * jax.random.normal(self._next_key(), mu.shape, mu.dtype)
         else:
             z = mu
-        return self.decode(z)
+        return self.decode(z, project_topology=project_topology)
 
-    def generate(self, n: int) -> GraphBatch:
-        """Sample z ~ N(0, I) and decode (model.py:264-268)."""
+    def generate(self, n: int, project_topology: bool = False) -> GraphBatch:
+        """Sample z ~ N(0, I) and decode (model.py:264-268); see :meth:`decode`
+        for ``project_topology``."""
         z = jax.random.normal(self._next_key(), (n, self.cfg.size_z), jnp.float32)
-        return self.decode(z)
+        return self.decode(z, project_topology=project_topology)
 
     def forward(self, G_true: GraphBatch, w_env=2.0, w_frq=5.0, w_kld=0.01):
         """encode -> teacher-forced ELBO; returns (loss, lx0, lxi, le, kld)
@@ -240,6 +258,7 @@ class DXVAE:
         metrics_append: bool = False,
         extra_epoch: bool = True,
         n_data: int | None = None,
+        n_model: int = 1,
         shuffle_seed: int | None = None,
         save_every: int = 1,
     ):
@@ -250,6 +269,10 @@ class DXVAE:
 
         Executes as one jitted update step per batch, data-parallel over the
         mesh 'data' axis (gradient all-reduce over ICI inserted by XLA).
+        ``n_model > 1`` additionally tensor-parallelizes the wide MLP heads
+        over the mesh 'model' axis (Megatron-style column/row split,
+        parallel/mesh.py); weights and AdamW moments live sharded for the
+        whole run.
         """
         X_all = np.asarray(G_true.X, np.float32)
         P_all = np.asarray(G_true.params, np.int32)
@@ -274,11 +297,15 @@ class DXVAE:
         )
         step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
 
+        if n_model < 1 or len(jax.devices()) < n_model:
+            raise ValueError(
+                f"n_model={n_model} needs that many devices (have {len(jax.devices())})"
+            )
         if n_data is None:
             # auto: the largest device count that divides the batch, so
             # device_put never sees an indivisible batch (a constraint the
             # reference API did not have)
-            n_data = len(jax.devices())
+            n_data = len(jax.devices()) // n_model
             while size_batch % n_data:
                 n_data -= 1
         elif size_batch % n_data:
@@ -286,8 +313,15 @@ class DXVAE:
                 f"size_batch={size_batch} is not divisible by the data-parallel mesh "
                 f"size n_data={n_data}; pick a divisor (or n_data=1)"
             )
-        mesh = make_mesh(n_data=n_data)
+        mesh = make_mesh(n_data=n_data, n_model=n_model)
         sharding = batch_sharding(mesh)
+        if n_model > 1:
+            # tensor-parallel weights: place params on their 2D shardings and
+            # re-init the optimizer so the AdamW moments inherit them (the
+            # state was created replicated above)
+            p_sh = param_shardings(mesh, state.params)
+            params_sh = jax.device_put(state.params, p_sh)
+            state = state._replace(params=params_sh, opt_state=optimizer.init(params_sh))
         log = MetricsLogger(metrics_csv, append=metrics_append)
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
 

@@ -71,9 +71,9 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
     return G_de
 
 
-def generate_test(n=1, chk=None, printout=True, seed=0):
+def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False):
     model = _model_for(chk, seed)
-    G_gen = model.generate(n)
+    G_gen = model.generate(n, project_topology=project_topology)
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -125,6 +125,9 @@ def main(argv=None) -> int:
             sp.add_argument("--metrics-csv", default=None)
             sp.add_argument("--n-data", type=int, default=None,
                             help="data-parallel mesh size (default: auto)")
+            sp.add_argument("--n-model", type=int, default=None,
+                            help="tensor-parallel mesh size: shards the wide "
+                                 "MLP heads over the 'model' axis (default: 1)")
             sp.add_argument("--no-extra-epoch", action="store_true",
                             help="drop the reference's range(epochs+1) off-by-one")
 
@@ -139,6 +142,9 @@ def main(argv=None) -> int:
     sp.add_argument("--n", type=int, default=1)
     sp.add_argument("--out", default=None, help="write a 32-voice .syx bank here")
     sp.add_argument("--computed-checksum", action="store_true")
+    sp.add_argument("--project-topology", action="store_true",
+                    help="snap each sampled adjacency to the nearest valid "
+                         "DX7 algorithm (hardware-realizable banks)")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
@@ -167,7 +173,7 @@ def main(argv=None) -> int:
             cfg = TrainConfig.from_json(f.read())
     for flag in (
         "raw_dir", "checkpoint", "seed", "epochs", "size_batch", "lr",
-        "w_env", "w_frq", "w_kld", "metrics_csv", "n_data",
+        "w_env", "w_frq", "w_kld", "metrics_csv", "n_data", "n_model",
     ):
         v = getattr(args, flag, None)
         if v is not None:
@@ -198,7 +204,7 @@ def main(argv=None) -> int:
             metrics_csv=cfg.metrics_csv, extra_epoch=cfg.extra_epoch,
             # a resumed run extends its CSV history; a fresh one truncates
             metrics_append=(args.cmd == "train-on"),
-            n_data=cfg.n_data, save_every=cfg.save_every_epochs,
+            n_data=cfg.n_data, n_model=cfg.n_model, save_every=cfg.save_every_epochs,
         )
     elif args.cmd == "decode-test":
         G = _load_graphs(args)
@@ -206,7 +212,8 @@ def main(argv=None) -> int:
                     args.stochastic, seed=cfg.seed)
     elif args.cmd == "generate":
         G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet,
-                              seed=cfg.seed)
+                              seed=cfg.seed,
+                              project_topology=args.project_topology)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,

@@ -30,8 +30,11 @@ class TrainConfig:
     extra_epoch: bool = True
     # checkpoint cadence: reference saves every epoch (model.py:388)
     save_every_epochs: int = 1
-    # data-parallel mesh size (None = all local devices)
+    # data-parallel mesh size (None = all local devices / n_model)
     n_data: int | None = None
+    # tensor-parallel mesh size: >1 shards the wide MLP heads Megatron-style
+    # over the 'model' axis (parallel/mesh.py)
+    n_model: int = 1
     metrics_csv: str | None = None
 
     def to_json(self) -> str:
