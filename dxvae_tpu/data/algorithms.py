@@ -70,3 +70,39 @@ def _build_adj() -> np.ndarray:
 #: (32, 7, 7) bool — ALGO_ADJ[a, i, j] == True iff algorithm a has edge i -> j.
 ALGO_ADJ: np.ndarray = _build_adj()
 ALGO_ADJ.setflags(write=False)
+
+
+def project_topology(adj: np.ndarray, alg_scores: np.ndarray | None = None):
+    """Snap each adjacency to the nearest valid DX7 algorithm topology.
+
+    Beyond-reference constrained-generation capability: the decoder's 21
+    independent edge decisions rarely land exactly on one of the 32 hardware
+    algorithms (9.6–17.6% measured across model scales, docs/PERF.md), yet
+    only those 32 routings are realizable on a DX7.  This projects each
+    sampled ``adj (B, 7, 7)`` to the algorithm with minimum Hamming distance;
+    ties are broken by the decoder's own algorithm-head scores ``alg_scores
+    (B, 32)`` when given (higher wins), else by the lowest algorithm index.
+
+    Returns ``(proj_adj (B, 7, 7) float like adj, proj_alg (B,) int64)``.
+    """
+    adj = np.asarray(adj)
+    table = ALGO_ADJ.astype(adj.dtype)  # (32, 7, 7)
+    d = np.abs(adj[:, None] - table[None]).sum(axis=(2, 3))  # (B, 32) Hamming
+    if alg_scores is not None:
+        s = np.asarray(alg_scores, np.float64)
+        # rank-based tie term (scale-free, unlike a softmax, which saturates
+        # for extreme logits): pos 0 = best score per row, stable sort so
+        # equal scores prefer the lower algorithm index
+        pos = np.empty_like(d, dtype=np.int64)
+        order = np.argsort(-s, axis=-1, kind="stable")
+        np.put_along_axis(
+            pos, order, np.broadcast_to(np.arange(s.shape[-1]), s.shape).copy(), axis=-1
+        )
+        # Hamming distances are integers >= 1 apart, so subtracting a (0,1]
+        # -bounded term breaks ties by head score without reordering distinct
+        # distances
+        score = d.astype(np.float64) - (s.shape[-1] - pos) / (s.shape[-1] + 2)
+    else:
+        score = d
+    k = np.argmin(score, axis=-1)
+    return table[k], k.astype(np.int64)

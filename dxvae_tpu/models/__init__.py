@@ -15,6 +15,7 @@ from dxvae_tpu.models.dxvae import (
     elbo_loss,
     forward,
     generate,
+    alg_head_logits,
 )
 
 __all__ = [
@@ -27,4 +28,5 @@ __all__ = [
     "elbo_loss",
     "forward",
     "generate",
+    "alg_head_logits",
 ]

@@ -436,6 +436,19 @@ def generate(params, key, n: int, cfg: DXVAEConfig = DXVAEConfig()):
     return decode(params, z, cfg)
 
 
+def alg_head_logits(params, z, cfg: DXVAEConfig = DXVAEConfig()):
+    """Raw 32-wide algorithm logits of the global head for latents ``z``.
+
+    Recomputes exactly the slice ``reg_x0`` argmaxes over (quantize.py:59,
+    the last 32 dims of the x0 head) — used as tie-break scores for
+    topology projection (data/algorithms.py:project_topology) without
+    changing ``decode``'s parity-critical return signature."""
+    cdt, dt = _dtypes(cfg, z.dtype)
+    params = _compute_params(params, cfg)
+    h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
+    return L.mlp(params["h_to_x0"], h_init).astype(dt)[:, cfg.size_x0:]
+
+
 # --------------------------------------------------------------------------- #
 # teacher-forced ELBO loss
 # --------------------------------------------------------------------------- #

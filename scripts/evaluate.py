@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 from dxvae_tpu.api import DXVAE, DXDataset
+from dxvae_tpu.data.dataset import default_raw_dir
 from dxvae_tpu.graph import GraphBatch
 
 
@@ -37,10 +38,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/dx_1024_xl.npz")
     ap.add_argument("--json", action="store_true", help="machine-readable output")
+    ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
-    full = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_eval_cache")
-    train = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_eval_cache",
+    raw_dir = args.raw_dir or default_raw_dir()
+    full = DXDataset(raw_dir, save_dir="/tmp/dx_eval_cache")
+    train = DXDataset(raw_dir, save_dir="/tmp/dx_eval_cache",
                       include="synprez")
     # held-out = voices not in the synprez subset (the Dexed_01 bank)
     train_keys = {bytes(p.tobytes()) for p in train.batch.params}
@@ -58,21 +61,15 @@ def main():
         report["held_out"] = reconstruction_metrics(held, model.encode_decode(held))
         report["held_out"]["n"] = len(held)
 
-    gen = model.generate(512)
-    algs = gen.params[:, 0, 18]
-    report["generation"] = {
-        "alg_coverage": int(len(np.unique(algs))),
-        # operator nodes only: node 0 (global) has no SELF step in the decode
-        # cadence and no algorithm has adj[0,0]=1, so including it would
-        # deflate the rate by 6/7.  Renamed from round-1's "self_loop_rate"
-        # (which averaged the full diagonal, ~6/7 of this value) so earlier
-        # recorded numbers are not silently incommensurate
-        "op_self_loop_rate": float(gen.adj[:, range(1, 7), range(1, 7)].mean()),
-        "mean_edges": float(gen.adj.sum(axis=(1, 2)).mean()),
-        # fraction of samples whose generated topology matches some real DX7
-        # algorithm exactly (ignoring which one the alg param claims)
-        "valid_topology_rate": _valid_topology_rate(gen.adj),
-    }
+    # same prior samples with and without topology projection, so the
+    # projected row isolates the projection's effect (not sampling noise)
+    import jax
+
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (512, model.cfg.size_z)))
+    gen = model.decode(z)
+    gen_proj = model.decode(z, project_topology=True)
+    report["generation"] = _generation_metrics(gen)
+    report["generation_projected"] = _generation_metrics(gen_proj)
 
     if args.json:
         print(json.dumps(report, indent=2))
@@ -92,6 +89,26 @@ def _valid_topology_rate(adj) -> float:
     table = ALGO_ADJ.astype(adj.dtype)  # (32,7,7)
     match = (adj[:, None] == table[None]).all(axis=(2, 3)).any(axis=1)
     return float(match.mean())
+
+
+def _generation_metrics(gen) -> dict:
+    algs = gen.params[:, 0, 18]
+    return {
+        "alg_coverage": int(len(np.unique(algs))),
+        # operator nodes only: node 0 (global) has no SELF step in the decode
+        # cadence and no algorithm has adj[0,0]=1, so including it would
+        # deflate the rate by 6/7.  Renamed from round-1's "self_loop_rate"
+        # (which averaged the full diagonal, ~6/7 of this value) so earlier
+        # recorded numbers are not silently incommensurate
+        "op_self_loop_rate": float(gen.adj[:, range(1, 7), range(1, 7)].mean()),
+        "mean_edges": float(gen.adj.sum(axis=(1, 2)).mean()),
+        # fraction of samples whose generated topology matches some real DX7
+        # algorithm exactly (ignoring which one the alg param claims)
+        "valid_topology_rate": _valid_topology_rate(gen.adj),
+        # diversity: distinct exact topologies across the 512 samples
+        "unique_topologies": int(len({a.tobytes() for a in
+                                      gen.adj.astype(np.uint8)})),
+    }
 
 
 if __name__ == "__main__":

@@ -136,8 +136,8 @@ def test_generate_seed_controls_samples():
 
 
 def test_metrics_csv_appends_on_resume(tmp_path):
-    """A second run with the same metrics_csv must append (one header), not
-    truncate the history."""
+    """A resumed run (append=True, as the CLI's train-on passes) must extend
+    the CSV under one header; see test_config.py for the truncate default."""
     from dxvae_tpu.utils.metrics import MetricsLogger
 
     path = tmp_path / "m.csv"
@@ -145,7 +145,7 @@ def test_metrics_csv_appends_on_resume(tmp_path):
     log = MetricsLogger(str(path), stdout=False)
     log.batch(0, m, step=1)
     log.finished()
-    log2 = MetricsLogger(str(path), stdout=False)
+    log2 = MetricsLogger(str(path), stdout=False, append=True)
     log2.batch(0, m, step=2)
     log2.finished()
     lines = path.read_text().strip().splitlines()
@@ -253,3 +253,29 @@ def test_train_batch_not_divisible_by_devices(dataset, tmp_path):
     m.train(G, epochs=0, size_batch=12, extra_epoch=True)  # one epoch, auto mesh
     with pytest.raises(ValueError, match="not divisible"):
         m.train(G, epochs=0, size_batch=12, n_data=8)
+
+
+def test_generate_project_topology(model):
+    """Constrained generation (VERDICT r2 #6): every projected sample's
+    adjacency is exactly a row of ALGO_ADJ and the alg param agrees, so the
+    exported bank is hardware-realizable topology end to end."""
+    from dxvae_tpu.api import graph_to_syx
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+    from dxvae_tpu.data.sysex import unpack_voices
+
+    G = model.generate(32, project_topology=True)
+    table = ALGO_ADJ.astype(G.adj.dtype)
+    for i in range(32):
+        k = int(G.params[i, 0, 18])
+        np.testing.assert_array_equal(G.adj[i], table[k])
+    # the bank round-trips with the projected algorithm bytes intact
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "proj.syx")
+        graph_to_syx(G, path)
+        p2, _, adj2 = unpack_voices(
+            __import__("dxvae_tpu.data.sysex", fromlist=["read_syx"]).read_syx(path)
+        )
+        np.testing.assert_array_equal(p2[:, 0, 18], G.params[:, 0, 18])
+        np.testing.assert_array_equal(adj2.astype(G.adj.dtype), G.adj)

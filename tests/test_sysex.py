@@ -271,3 +271,39 @@ def test_reference_generated_bank_fails_verification():
         pytest.skip("reference generated bank not mounted")
     with pytest.raises(ValueError, match="checksum mismatch"):
         sysex.read_syx(gen, verify_checksum=True)
+
+
+def test_project_topology_minimal_hamming_and_tiebreak():
+    """project_topology must (a) return exact rows of ALGO_ADJ, (b) achieve
+    the brute-force minimum Hamming distance, (c) break ties by the supplied
+    algorithm-head scores, and (d) be identity on already-valid topologies."""
+    import numpy as np
+
+    from dxvae_tpu.data.algorithms import ALGO_ADJ, project_topology
+
+    rng = np.random.default_rng(0)
+    adj = (rng.random((64, 7, 7)) < 0.15).astype(np.float32)
+    proj, k = project_topology(adj)
+    table = ALGO_ADJ.astype(np.float32)
+    d_all = np.abs(adj[:, None] - table[None]).sum(axis=(2, 3))  # (64, 32)
+    np.testing.assert_array_equal(proj, table[k])
+    np.testing.assert_array_equal(d_all[np.arange(64), k], d_all.min(axis=1))
+    # no scores: ties go to the lowest algorithm index
+    for i in range(64):
+        ties = np.flatnonzero(d_all[i] == d_all[i].min())
+        assert k[i] == ties[0]
+
+    # with scores: among minimal-distance algorithms, the best score wins —
+    # and a huge score on a non-minimal algorithm must NOT override distance
+    scores = rng.normal(size=(64, 32))
+    scores[:, 0] += 1000.0  # tempt the tie-break to violate minimality
+    proj_s, k_s = project_topology(adj, alg_scores=scores)
+    np.testing.assert_array_equal(d_all[np.arange(64), k_s], d_all.min(axis=1))
+    for i in range(64):
+        ties = np.flatnonzero(d_all[i] == d_all[i].min())
+        assert k_s[i] == ties[np.argmax(scores[i, ties])]
+
+    # identity on valid topologies, recovering the right algorithm index
+    proj_v, k_v = project_topology(ALGO_ADJ.astype(np.float32))
+    np.testing.assert_array_equal(proj_v, ALGO_ADJ.astype(np.float32))
+    np.testing.assert_array_equal(k_v, np.arange(32))
