@@ -32,6 +32,13 @@ from dxvae_tpu.graph import GraphBatch
 _CODEC_VERSION = 1
 
 
+def default_raw_dir() -> str:
+    """Default bank directory for scripts/benchmarks: ``$DXVAE_RAW_DIR`` when
+    set, else the reference mount on this image.  Every script takes
+    ``--raw-dir`` on top of this, so the framework is not image-pinned."""
+    return os.environ.get("DXVAE_RAW_DIR", "/root/reference/DX_data")
+
+
 def _cache_key(files: Sequence[Path]) -> str:
     h = hashlib.sha256()
     h.update(f"v{_CODEC_VERSION}".encode())

@@ -44,9 +44,9 @@ def time_reference(batch, steps, gen_batch):
     loader.install("src_dst")
     ref_model_mod = loader.load_reference("model")
 
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
 
-    b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache")[:batch]
+    b = DXDataset(default_raw_dir(), save_dir="/tmp/dx_refexec_cache")[:batch]
     batch = len(b.X)  # the dataset may be smaller than requested (1056 patches)
 
     def make_graphs(n):
@@ -91,12 +91,12 @@ def time_ours_cpu(batch, steps, gen_batch):
     """Same measurements for this framework on the same CPU (f32, defaults)."""
     import jax.numpy as jnp
 
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
     from dxvae_tpu.parallel.train import init_train_state, make_optimizer, make_train_step
 
     cfg = DXVAEConfig()
-    b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache")[:batch]
+    b = DXDataset(default_raw_dir(), save_dir="/tmp/dx_refexec_cache")[:batch]
     batch = len(b.X)  # clamp to the available patches, same as time_reference
     X = jnp.asarray(b.X)
     P = jnp.asarray(b.params, jnp.float32)
@@ -138,15 +138,21 @@ def main():
     ap.add_argument("--batch", type=int, default=32, help="training batch (reference recipe default)")
     ap.add_argument("--gen-batch", type=int, default=32, help="inference roundtrip batch")
     ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--raw-dir", default=None,
+                    help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
     import os
 
+    if args.raw_dir:
+        os.environ["DXVAE_RAW_DIR"] = args.raw_dir
+
     n_cpus = os.cpu_count() or 1
 
+    from dxvae_tpu.data.dataset import default_raw_dir
     from dxvae_tpu.data.dataset import DXDataset as _DS
 
-    n_avail = len(_DS("/root/reference/DX_data", save_dir="/tmp/dx_refexec_cache"))
+    n_avail = len(_DS(default_raw_dir(), save_dir="/tmp/dx_refexec_cache"))
     if args.batch > n_avail:
         print(f"note: --batch clamped to the {n_avail}-patch dataset", file=sys.stderr)
         args.batch = n_avail

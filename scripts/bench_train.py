@@ -20,15 +20,16 @@ def main():
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
     import jax, jax.numpy as jnp, optax
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
     from dxvae_tpu.models import DXVAEConfig, LossWeights, forward, init_params
     from dxvae_tpu.parallel.train import init_train_state, make_optimizer
 
     cfg = DXVAEConfig(compute_dtype=args.dtype, unroll=not args.scan)
-    b = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_tb_cache", include="synprez").batch
+    b = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_tb_cache", include="synprez").batch
     n = args.batch
     reps = -(-n // len(b.X))
     X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[:n])

@@ -27,9 +27,11 @@ def main():
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--checkpoint", default="checkpoints/dx_1024.npz")
     ap.add_argument("--out", default="generated/interp.syx")
+    ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
-    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_demo_cache", include="synprez")
+    from dxvae_tpu.data.dataset import default_raw_dir
+    ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_demo_cache", include="synprez")
     model = DXVAE(checkpoint=args.checkpoint)
 
     ends = ds[np.array([args.a, args.b])]

@@ -34,9 +34,12 @@ ap.add_argument("--batch", type=int, default=128)
 ap.add_argument("--lr", type=float, default=1e-3)
 ap.add_argument("--modes", nargs="+",
                 default=["float32", "bfloat16", "bfloat16_mixed"])
+ap.add_argument("--raw-dir", default=None,
+                help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
 args = ap.parse_args()
 
-ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_prec_cache", include="synprez")
+from dxvae_tpu.data.dataset import default_raw_dir
+ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_prec_cache", include="synprez")
 X = np.asarray(ds.batch.X, np.float32)
 P = np.asarray(ds.batch.params, np.int32)
 A = np.asarray(ds.batch.adj, np.float32)

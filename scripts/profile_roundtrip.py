@@ -25,15 +25,16 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--logdir", default="runs/trace")
     ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
-    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
     from dxvae_tpu.utils.profiling import trace
 
     cfg = DXVAEConfig(compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
-    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_prof_cache", include="synprez")
+    ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_prof_cache", include="synprez")
     b = ds.batch
     reps = -(-args.batch // len(b.X))
     X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[: args.batch])

@@ -12,7 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax, optax
 
-from dxvae_tpu.data.dataset import DXDataset
+from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
 from dxvae_tpu.models import DXVAEConfig, LossWeights, param_count
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_train_step
 from dxvae_tpu.utils.checkpoint import save_checkpoint
@@ -30,13 +30,15 @@ ap.add_argument("--w-kld", type=float, default=0.002,
                 help="KL weight: 0.002 (default) optimizes reconstruction; "
                      "higher values (e.g. 0.01) tighten the posterior toward "
                      "the prior for better prior-sample generation")
+ap.add_argument("--raw-dir", default=None,
+                help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
 args = ap.parse_args()
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
 cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
-ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_best_cache", include="synprez")
+ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_best_cache", include="synprez")
 X = np.asarray(ds.batch.X, np.float32)
 P = np.asarray(ds.batch.params, np.int32)
 A = np.asarray(ds.batch.adj, np.float32)

@@ -3,9 +3,10 @@ the reference recipe, producing the dx_1024_long checkpoint + curve."""
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from dxvae_tpu.api import DXVAE, DXDataset, graph_to_syx
+from dxvae_tpu.data.dataset import default_raw_dir
 
 t0 = time.time()
-ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_train_cache", include="synprez")
+ds = DXDataset(default_raw_dir(), save_dir="/tmp/dx_train_cache", include="synprez")
 model = DXVAE(checkpoint="checkpoints/dx_1024.npz", seed=1)
 model.train(
     ds.batch, epochs=200, size_batch=32, lr=1e-3,

@@ -10,9 +10,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from dxvae_tpu.api import DXVAE, DXDataset, graph_to_syx
+from dxvae_tpu.data.dataset import default_raw_dir
 
 t0 = time.time()
-ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_train_cache", include="synprez")
+ds = DXDataset(default_raw_dir(), save_dir="/tmp/dx_train_cache", include="synprez")
 assert len(ds) == 1024
 model = DXVAE(seed=0)
 model.train(
