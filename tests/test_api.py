@@ -279,3 +279,14 @@ def test_generate_project_topology(model):
         )
         np.testing.assert_array_equal(p2[:, 0, 18], G.params[:, 0, 18])
         np.testing.assert_array_equal(adj2.astype(G.adj.dtype), G.adj)
+
+
+def test_api_default_is_peak_path(model):
+    """The API/CLI default execution strategy must be the measured-fastest
+    path (unroll=True since 0.3.0, VERDICT r2 #2) — the whole test file's
+    `model` fixture exercises it end to end; the dataclass default stays the
+    fast-compile batched path for dev and the multichip dryrun."""
+    from dxvae_tpu.models import DXVAEConfig
+
+    assert model.cfg.unroll is True
+    assert DXVAEConfig().unroll is False
