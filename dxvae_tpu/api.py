@@ -25,6 +25,7 @@ import numpy as np
 from dxvae_tpu.data.dataset import DXDataset  # noqa: F401  (re-export)
 from dxvae_tpu.data.sysex import params_to_syx_file
 from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.data.algorithms import ALGO_ADJ
 from dxvae_tpu.data.algorithms import project_topology as _project_topology
 from dxvae_tpu.models import (
     DXVAEConfig,
@@ -137,6 +138,8 @@ class DXVAE:
         cfg = self.cfg
         self._encode_jit = jax.jit(lambda p, X, adj: _encode(p, X, adj, cfg)[:2])
         self._decode_jit = jax.jit(lambda p, z: _decode(p, z, cfg))
+        self._decode_forced_jit = jax.jit(
+            lambda p, z, fa: _decode(p, z, cfg, forced_adj=fa))
         self._alg_logits_jit = jax.jit(lambda p, z: _alg_head_logits(p, z, cfg))
 
         def _fwd(params, X, P, adj, key, w_env, w_frq, w_kld, training):
@@ -203,15 +206,35 @@ class DXVAE:
         mu, std = self._encode_jit(self.params, X, adj)
         return Normal(mu, std, key_stream=self._next_key)
 
-    def decode(self, z, project_topology: bool = False) -> GraphBatch:
+    def decode(self, z, project_topology: bool = False, alg=None) -> GraphBatch:
         """Latents -> generated graphs (model.py:214-253). Deterministic given z.
 
         ``project_topology=True`` (beyond-reference) snaps each generated
         adjacency to the nearest valid DX7 algorithm — min Hamming distance
         over the 32 hardware routings, ties broken by the decoder's own
         algorithm-head logits — and sets the alg param to match, so every
-        exported bank is hardware-realizable topology."""
+        exported bank is hardware-realizable topology.
+
+        ``alg`` (beyond-reference): an algorithm index 0..31 (or a (B,) array
+        of them) teacher-forces the topology to that DX7 routing during the
+        decode itself — every self-loop/edge decision is read from
+        ``ALGO_ADJ[alg]`` while node features stay autoregressive, so the
+        sampled operators are conditioned on the forced routing (unlike
+        post-hoc projection).  The alg param is set to match.  Mutually
+        exclusive with ``project_topology`` (the result is already valid)."""
         z = jnp.asarray(z, jnp.float32)
+        if alg is not None:
+            if project_topology:
+                raise ValueError(
+                    "alg= already yields valid topology; drop project_topology")
+            alg = np.broadcast_to(np.asarray(alg, np.int32), (z.shape[0],))
+            if alg.min() < 0 or alg.max() > 31:
+                raise ValueError("alg must be in 0..31")
+            fa = jnp.asarray(ALGO_ADJ[alg], jnp.float32)
+            X, P, adj = self._decode_forced_jit(self.params, z, fa)
+            P = np.asarray(P).astype(np.int32).copy()
+            P[:, 0, 18] = alg
+            return GraphBatch(X=np.asarray(X), params=P, adj=np.asarray(adj))
         X, P, adj = self._decode_jit(self.params, z)
         X = np.asarray(X)
         P = np.asarray(P).astype(np.int32)
@@ -233,11 +256,11 @@ class DXVAE:
             z = mu
         return self.decode(z, project_topology=project_topology)
 
-    def generate(self, n: int, project_topology: bool = False) -> GraphBatch:
+    def generate(self, n: int, project_topology: bool = False, alg=None) -> GraphBatch:
         """Sample z ~ N(0, I) and decode (model.py:264-268); see :meth:`decode`
-        for ``project_topology``."""
+        for ``project_topology`` and algorithm-conditional ``alg``."""
         z = jax.random.normal(self._next_key(), (n, self.cfg.size_z), jnp.float32)
-        return self.decode(z, project_topology=project_topology)
+        return self.decode(z, project_topology=project_topology, alg=alg)
 
     def forward(self, G_true: GraphBatch, w_env=2.0, w_frq=5.0, w_kld=0.01):
         """encode -> teacher-forced ELBO; returns (loss, lx0, lxi, le, kld)

@@ -71,9 +71,10 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
     return G_de
 
 
-def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False):
+def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
+                  alg=None):
     model = _model_for(chk, seed)
-    G_gen = model.generate(n, project_topology=project_topology)
+    G_gen = model.generate(n, project_topology=project_topology, alg=alg)
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -145,6 +146,9 @@ def main(argv=None) -> int:
     sp.add_argument("--project-topology", action="store_true",
                     help="snap each sampled adjacency to the nearest valid "
                          "DX7 algorithm (hardware-realizable banks)")
+    sp.add_argument("--alg", type=int, default=None, metavar="0..31",
+                    help="condition generation on a DX7 algorithm: the decode "
+                         "teacher-forces that routing while sampling operators")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
@@ -212,6 +216,7 @@ def main(argv=None) -> int:
                     args.stochastic, seed=cfg.seed)
     elif args.cmd == "generate":
         G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet,
+                              alg=args.alg,
                               seed=cfg.seed,
                               project_topology=args.project_topology)
         if args.out:

@@ -317,13 +317,23 @@ def _node_caches(h, w1b, wp):
 # autoregressive generation decoder
 # --------------------------------------------------------------------------- #
 
-def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | None = None):
+def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | None = None,
+           forced_adj=None):
     """Autoregressive node-and-edge decoder (model.py:214-253).
 
     ``z (B, Z)`` -> ``(X (B,7,27), params_int (B,7,21), adj (B,7,7))``.
     Deterministic given z (threshold/argmax decisions).  Generated edges feed
     back into message passing within the same step: the adjacency is carried
     as a dense mask and every edge decision is a masked update.
+
+    ``forced_adj (B,7,7)`` (beyond-reference): teacher-force the topology —
+    every self-loop/edge decision is read from ``forced_adj`` instead of the
+    edge heads (whose matmuls are skipped entirely), while node features stay
+    autoregressive.  The hidden-refresh cadence is byte-identical to the free
+    decode with the same decisions: forcing the adjacency a free decode would
+    have produced returns exactly that decode's output (tested).  This is the
+    decode-side mirror of the loss path's teacher forcing (model.py:330-363)
+    and powers algorithm-conditional generation (``DXVAE.generate(alg=...)``).
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = z.shape[0]
@@ -343,6 +353,9 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     no_loop = jnp.zeros((b,), dt)
     gate_b = params["gate"]["b"]
     w1a, w1b, b1 = _edge_head_split(params)
+    forced = forced_adj is not None
+    if forced:
+        forced_adj = forced_adj.astype(dt)
 
     # list-of-arrays state (static node indices, no dynamic-update-slice);
     # per-node caches (edge-head half + projections) computed lazily —
@@ -352,11 +365,17 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     projl: list = []
     Xl = [x0]
     Pl = [p0]
-    adj_self = [jnp.zeros((b,), dt)]
+    adj_self = [forced_adj[:, 0, 0] if forced else jnp.zeros((b,), dt)]
     adj_in = [[None] * n for _ in range(n)]   # adj_in[j][i] = edge j -> i
     for vi in range(1, n):
         # node vi-1's hidden is now final: compute its caches once
-        eh_row, proj_row = _node_caches(hid_prev, w1b, wp)
+        # (the edge-head half is only read by the skipped edge heads when
+        # the topology is forced — don't compute it then)
+        if forced:
+            proj_row = L.matmul_wT(hid_prev, wp).reshape(b, 4, -1)
+            eh_row = None
+        else:
+            eh_row, proj_row = _node_caches(hid_prev, w1b, wp)
         ehl.append(eh_row)
         projl.append(proj_row)
         # predict node vi's features from node vi-1's (final) hidden state
@@ -370,8 +389,11 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
 
         # self-loop decision, then re-propagate (model.py:236-240);
         # window edges still absent, so H_in stays 0
-        s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
-        s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
+        if forced:
+            s = forced_adj[:, vi, vi]
+        else:
+            s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
+            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
         adj_self.append(s)
         hv = _propagate_list(params, xi, zero_hin, s, cdt)
 
@@ -381,9 +403,13 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         if cfg.unroll:
             h_acc = zero_hin
             for vj in order:
-                e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
-                e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)   # edge vj -> vi
-                e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)  # edge vi -> vj
+                if forced:
+                    e_in = forced_adj[:, vj, vi]   # edge vj -> vi
+                    e_out = forced_adj[:, vi, vj]  # edge vi -> vj
+                else:
+                    e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
+                    e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
+                    e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
                 adj_in[vj][vi] = e_in
                 adj_in[vi][vj] = e_out
                 h_acc = h_acc + slot_contribution(
@@ -392,22 +418,39 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 hv = _propagate_list(params, xi, h_acc, s, cdt)
         else:
             # branch-free edge scan: per-step inputs pre-stacked as xs
-            xs = (
-                jnp.stack([ehl[j] for j in order]),
-                jnp.stack([projl[j] for j in order]),
-            )
-
-            def edge_body(carry, x, xi=xi, s=s):
-                hv, h_acc = carry
-                eh_vj, proj_vj = x
-                e = _edge_logits(params, hv, eh_vj, w1a, b1).astype(dt)
-                e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
-                e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
-                h_acc = h_acc + slot_contribution(
-                    proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+            # (forced mode: decisions ride in as xs; no edge-head inputs)
+            if forced:
+                xs = (
+                    jnp.stack([projl[j] for j in order]),
+                    jnp.stack([forced_adj[:, j, vi] for j in order]),
+                    jnp.stack([forced_adj[:, vi, j] for j in order]),
                 )
-                hv = _propagate_list(params, xi, h_acc, s, cdt)
-                return (hv, h_acc), (e_in, e_out)
+
+                def edge_body(carry, x, xi=xi, s=s):
+                    hv, h_acc = carry
+                    proj_vj, e_in, e_out = x
+                    h_acc = h_acc + slot_contribution(
+                        proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+                    )
+                    hv = _propagate_list(params, xi, h_acc, s, cdt)
+                    return (hv, h_acc), (e_in, e_out)
+            else:
+                xs = (
+                    jnp.stack([ehl[j] for j in order]),
+                    jnp.stack([projl[j] for j in order]),
+                )
+
+                def edge_body(carry, x, xi=xi, s=s):
+                    hv, h_acc = carry
+                    eh_vj, proj_vj = x
+                    e = _edge_logits(params, hv, eh_vj, w1a, b1).astype(dt)
+                    e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
+                    e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
+                    h_acc = h_acc + slot_contribution(
+                        proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
+                    )
+                    hv = _propagate_list(params, xi, h_acc, s, cdt)
+                    return (hv, h_acc), (e_in, e_out)
 
             (hv, _), (e_ins, e_outs) = jax.lax.scan(edge_body, (hv, zero_hin), xs)
             for k, vj in enumerate(order):

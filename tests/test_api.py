@@ -281,6 +281,29 @@ def test_generate_project_topology(model):
         np.testing.assert_array_equal(adj2.astype(G.adj.dtype), G.adj)
 
 
+def test_generate_alg_conditional(model):
+    """Algorithm-conditional generation: generate(alg=k) teacher-forces the
+    DX7 routing k during the decode, so every sample's adjacency IS
+    ALGO_ADJ[k] and the alg param agrees; per-sample alg arrays work; the
+    conflicting/invalid argument combinations raise."""
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    G = model.generate(8, alg=4)
+    np.testing.assert_array_equal(
+        G.adj, np.broadcast_to(ALGO_ADJ[4].astype(G.adj.dtype), (8, 7, 7)))
+    assert (G.params[:, 0, 18] == 4).all()
+
+    algs = np.arange(8, dtype=np.int32) * 3  # 0,3,...,21
+    Gm = model.generate(8, alg=algs)
+    np.testing.assert_array_equal(Gm.adj, ALGO_ADJ[algs].astype(Gm.adj.dtype))
+    np.testing.assert_array_equal(Gm.params[:, 0, 18], algs)
+
+    with pytest.raises(ValueError, match="project_topology"):
+        model.generate(2, alg=1, project_topology=True)
+    with pytest.raises(ValueError, match="0..31"):
+        model.generate(2, alg=32)
+
+
 def test_api_default_is_peak_path(model):
     """The API/CLI default execution strategy must be the measured-fastest
     path (unroll=True since 0.3.0, VERDICT r2 #2) — the whole test file's

@@ -250,6 +250,39 @@ def test_scan_equals_unrolled(params, real_batch):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_forced_adj_is_exact_cadence_mirror(params):
+    """Teacher-forced topology decode: forcing the adjacency a FREE decode
+    produced must reproduce that decode bitwise (X, params, adj) — proving the
+    forced path's hidden-refresh cadence is identical to the free decode with
+    the same decisions, on both execution strategies.  An arbitrary forced
+    adjacency must come back verbatim."""
+    z = jax.random.normal(jax.random.PRNGKey(17), (6, CFG.size_z))
+    for cfg in (DXVAEConfig(unroll=True), DXVAEConfig(unroll=False)):
+        Xf, Pf, Af = decode(params, z, cfg)
+        Xg, Pg, Ag = decode(params, z, cfg, forced_adj=jnp.asarray(Af))
+        np.testing.assert_array_equal(np.asarray(Xg), np.asarray(Xf))
+        np.testing.assert_array_equal(np.asarray(Pg), np.asarray(Pf))
+        np.testing.assert_array_equal(np.asarray(Ag), np.asarray(Af))
+    # arbitrary topology round-trips through the forced decode unchanged
+    rng = np.random.default_rng(3)
+    arb = rng.integers(0, 2, size=(6, 7, 7)).astype(np.float32)
+    _, _, Aa = decode(params, z, DXVAEConfig(unroll=True),
+                      forced_adj=jnp.asarray(arb))
+    np.testing.assert_array_equal(np.asarray(Aa), arb)
+
+
+def test_forced_adj_unroll_paths_agree(params):
+    """Both execution strategies must produce identical forced decodes."""
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    z = jax.random.normal(jax.random.PRNGKey(21), (8, CFG.size_z))
+    fa = jnp.asarray(ALGO_ADJ[np.arange(8) % 32], jnp.float32)
+    out_u = decode(params, z, DXVAEConfig(unroll=True), forced_adj=fa)
+    out_s = decode(params, z, DXVAEConfig(unroll=False), forced_adj=fa)
+    for a, b in zip(out_u, out_s):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_nondefault_sizes_work(real_batch):
     """The whole stack is size-generic: a small config (H=64, Z=16) must
     forward, decode, and take a gradient without shape errors."""
