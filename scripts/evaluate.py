@@ -68,8 +68,24 @@ def main():
     z = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (512, model.cfg.size_z)))
     gen = model.decode(z)
     gen_proj = model.decode(z, project_topology=True)
+    # conditional arm: same z, topology teacher-forced to alg i%32 — 16
+    # samples per algorithm, coverage 32/32 by construction
+    gen_cond = model.decode(z, alg=np.arange(len(z)) % 32)
     report["generation"] = _generation_metrics(gen)
     report["generation_projected"] = _generation_metrics(gen_proj)
+    report["generation_conditional"] = _generation_metrics(gen_cond)
+    # self-consistency: re-encode each arm's samples and decode the posterior
+    # mean — how much of the sample's topology/params does the model itself
+    # recognize and retain?  (on-manifold-ness of the three generation modes)
+    for section, G in (("generation", gen), ("generation_projected", gen_proj),
+                       ("generation_conditional", gen_cond)):
+        R = model.encode_decode(G)
+        report[section]["roundtrip_topology_retained"] = float(
+            (G.adj == R.adj).all(axis=(1, 2)).mean())
+        report[section]["roundtrip_alg_retained"] = float(
+            (G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
+        report[section]["roundtrip_param_exact"] = float(
+            (G.params == R.params).mean())
 
     if args.json:
         print(json.dumps(report, indent=2))
