@@ -39,6 +39,18 @@ class GraphBatch(NamedTuple):
         idx = np.asarray(idx)
         return GraphBatch(self.X[idx], self.params[idx], self.adj[idx])
 
+    def __getitem__(self, idx) -> "GraphBatch":
+        """Sub-batch indexing mirroring the reference's list-of-graphs idiom
+        (main.py:55,67: ``G[12:13]`` / ``G[12]``): an int yields a length-1
+        batch, a slice or index array the corresponding sub-batch.  This
+        deliberately shadows NamedTuple positional indexing — access the
+        fields by name (``.X`` / ``.params`` / ``.adj``)."""
+        if isinstance(idx, int):
+            idx = slice(idx, idx + 1) if idx != -1 else slice(-1, None)
+        if isinstance(idx, slice):
+            return GraphBatch(self.X[idx], self.params[idx], self.adj[idx])
+        return self.take(idx)
+
     def slice(self, start: int, stop: int) -> "GraphBatch":
         return GraphBatch(self.X[start:stop], self.params[start:stop], self.adj[start:stop])
 

@@ -41,6 +41,25 @@ def test_encode_decode_roundtrip(model, G8):
     assert not np.array_equal(G.X, G3.X)
 
 
+def test_graphbatch_indexing_matches_reference_idiom(G8):
+    """The reference slices its list of graphs (main.py:55,67: G[12:13],
+    G[12]); GraphBatch supports the same idiom, shadowing NamedTuple
+    positional indexing on purpose."""
+    sub = G8[2:5]
+    assert isinstance(sub, GraphBatch) and len(sub) == 3
+    np.testing.assert_array_equal(sub.X, G8.X[2:5])
+    one = G8[3]
+    assert isinstance(one, GraphBatch) and len(one) == 1
+    np.testing.assert_array_equal(one.params, G8.params[3:4])
+    last = G8[-1]
+    np.testing.assert_array_equal(last.adj, G8.adj[-1:])
+    fancy = G8[np.array([0, 7, 1])]
+    np.testing.assert_array_equal(fancy.params, G8.params[[0, 7, 1]])
+    # field access stays by name; iteration still unpacks the three arrays
+    X, P, A = G8
+    np.testing.assert_array_equal(X, G8.X)
+
+
 def test_generate_and_serialize(model, tmp_path):
     G = model.generate(32)
     assert len(G) == 32
