@@ -72,9 +72,12 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 
 def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
-                  alg=None):
+                  alg=None, fit_from=None, n_components=32):
     model = _model_for(chk, seed)
-    G_gen = model.generate(n, project_topology=project_topology, alg=alg)
+    if fit_from is not None:
+        model.fit_prior(fit_from, n_components=n_components)
+    G_gen = model.generate(n, project_topology=project_topology, alg=alg,
+                           prior="fitted" if fit_from is not None else "standard")
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -149,6 +152,12 @@ def main(argv=None) -> int:
     sp.add_argument("--alg", type=int, default=None, metavar="0..31",
                     help="condition generation on a DX7 algorithm: the decode "
                          "teacher-forces that routing while sampling operators")
+    sp.add_argument("--fitted-prior", nargs="?", const=32, type=int, default=None,
+                    metavar="K",
+                    help="sample z from a K-component GMM (default 32) fitted "
+                         "to the dataset's aggregate posterior instead of "
+                         "N(0,I) — measured ~4x valid-topology rate at zero "
+                         "training cost (fits in seconds; needs --raw-dir data)")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
@@ -215,10 +224,13 @@ def main(argv=None) -> int:
         decode_test(G.slice(args.index, args.index + 1), args.checkpoint,
                     args.stochastic, seed=cfg.seed)
     elif args.cmd == "generate":
+        fit_from = _load_graphs(args) if args.fitted_prior is not None else None
         G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet,
                               alg=args.alg,
                               seed=cfg.seed,
-                              project_topology=args.project_topology)
+                              project_topology=args.project_topology,
+                              fit_from=fit_from,
+                              n_components=args.fitted_prior or 32)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,

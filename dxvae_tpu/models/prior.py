@@ -1,0 +1,158 @@
+"""Ex-post fitted latent prior: a full-covariance Gaussian mixture over the
+aggregate posterior.
+
+The reference (and our parity path) samples ``z ~ N(0, I)`` for generation
+(model.py:264-268) — but the *aggregate posterior* ``q(z) = E_x q(z|x)`` a
+trained encoder actually produces does not match that prior, and the
+mismatch is exactly where the model's weak prior sampling comes from
+(valid-topology rates of 5-18% across scales, docs/PERF.md).  Fitting a
+density to the aggregate posterior after training and sampling z from THAT
+("ex-post density estimation"; Ghosh et al. 2020 measure the same fix for
+deterministic autoencoders) closes the mismatch at zero training cost:
+measured here, GMM-32 sampling lifts valid-topology from ~11% to ~42% on
+the 44M model with zero exact training-set copies (docs/PERF.md).
+
+TPU-native implementation: EM with the E-step's Mahalanobis quadratic forms
+as batched triangular solves (``vmap`` over mixture components), the whole
+fixed-iteration loop one jitted ``lax.scan`` — no sklearn, no host loop.
+All math in float64-free f32; covariances are regularized (``reg_covar``)
+so the Cholesky factorizations stay PD even when a component collapses.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_LOG2PI = float(np.log(2.0 * np.pi))
+
+
+class GMMPrior(NamedTuple):
+    """A fitted K-component full-covariance Gaussian mixture over z-space.
+
+    ``chol`` holds the lower Cholesky factors of the (regularized) component
+    covariances — the only form both the E-step and sampling need.
+    """
+
+    log_weights: jnp.ndarray  # (K,)
+    means: jnp.ndarray        # (K, Z)
+    chol: jnp.ndarray         # (K, Z, Z) lower triangular
+
+    @property
+    def n_components(self) -> int:
+        return int(self.means.shape[0])
+
+
+def _component_log_prob(mean, L, z):
+    """log N(z | mean, L L^T) for one component over a batch: (N, Z) -> (N,)."""
+    diff = (z - mean).T  # (Z, N)
+    y = jax.scipy.linalg.solve_triangular(L, diff, lower=True)  # (Z, N)
+    quad = jnp.sum(y * y, axis=0)  # (N,)
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(L)))
+    d = mean.shape[0]
+    return -0.5 * (quad + logdet + d * _LOG2PI)
+
+
+def log_prob(prior: GMMPrior, z) -> jnp.ndarray:
+    """Mixture log-density of each row of ``z`` (N, Z) -> (N,)."""
+    z = jnp.asarray(z, jnp.float32)
+    comp = jax.vmap(_component_log_prob, in_axes=(0, 0, None))(
+        prior.means, prior.chol, z
+    )  # (K, N)
+    return jax.scipy.special.logsumexp(comp + prior.log_weights[:, None], axis=0)
+
+
+def _chol_of_cov(cov, reg):
+    z = cov.shape[-1]
+    return jnp.linalg.cholesky(cov + reg * jnp.eye(z, dtype=cov.dtype))
+
+
+def fit_gmm(
+    z_cloud,
+    n_components: int = 32,
+    n_iters: int = 60,
+    reg_covar: float = 1e-4,
+    key=None,
+) -> GMMPrior:
+    """Fit a full-covariance GMM to latent samples ``z_cloud`` (N, Z) by EM.
+
+    Initialization: component means are ``n_components`` random rows of the
+    cloud, covariances the global covariance, weights uniform.  ``n_iters``
+    EM steps run as one jitted ``lax.scan`` (EM monotonically improves the
+    likelihood, so a fixed budget is safe — 60 iterations reproduces
+    sklearn-fitted generation metrics on the measured workload).
+    """
+    z_cloud = jnp.asarray(z_cloud, jnp.float32)
+    n, d = z_cloud.shape
+    if n_components > n:
+        raise ValueError(f"n_components={n_components} exceeds {n} samples")
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    idx = jax.random.choice(key, n, (n_components,), replace=False)
+    means0 = z_cloud[idx]
+    global_cov = jnp.cov(z_cloud.T).astype(jnp.float32).reshape(d, d)
+    chol0 = jnp.broadcast_to(
+        _chol_of_cov(global_cov, reg_covar), (n_components, d, d)
+    )
+    log_w0 = jnp.full((n_components,), -jnp.log(float(n_components)), jnp.float32)
+
+    def em_step(carry, _):
+        log_w, means, chol = carry
+        # E-step: responsibilities (K, N), MXU-heavy triangular solves
+        comp = jax.vmap(_component_log_prob, in_axes=(0, 0, None))(means, chol, z_cloud)
+        joint = comp + log_w[:, None]
+        log_resp = joint - jax.scipy.special.logsumexp(joint, axis=0, keepdims=True)
+        resp = jnp.exp(log_resp)  # (K, N)
+        # M-step
+        nk = resp.sum(axis=1) + 1e-10  # (K,)
+        new_means = (resp @ z_cloud) / nk[:, None]  # (K, Z)
+
+        def cov_k(r, mu):
+            diff = z_cloud - mu  # (N, Z)
+            return (diff.T * r) @ diff  # (Z, Z)
+
+        covs = jax.vmap(cov_k)(resp, new_means) / nk[:, None, None]
+        new_chol = jax.vmap(_chol_of_cov, in_axes=(0, None))(covs, reg_covar)
+        new_log_w = jnp.log(nk / nk.sum())
+        return (new_log_w, new_means, new_chol), None
+
+    @jax.jit
+    def run(carry):
+        carry, _ = jax.lax.scan(em_step, carry, None, length=n_iters)
+        return carry
+
+    log_w, means, chol = run((log_w0, means0, chol0))
+    return GMMPrior(log_weights=log_w, means=means, chol=chol)
+
+
+def sample_gmm(prior: GMMPrior, key, n: int) -> jnp.ndarray:
+    """Draw ``n`` latent samples from the fitted mixture: (n, Z) float32."""
+    k_comp, k_eps = jax.random.split(key)
+    comps = jax.random.categorical(k_comp, prior.log_weights, shape=(n,))
+    eps = jax.random.normal(k_eps, (n, prior.means.shape[1]), jnp.float32)
+    # z_i = mean_c + L_c @ eps_i, gathered per sample
+    L = prior.chol[comps]  # (n, Z, Z)
+    return prior.means[comps] + jnp.einsum("nij,nj->ni", L, eps)
+
+
+def save_prior(path: str, prior: GMMPrior) -> None:
+    """Persist a fitted prior as a small standalone .npz."""
+    np.savez(
+        path,
+        log_weights=np.asarray(prior.log_weights),
+        means=np.asarray(prior.means),
+        chol=np.asarray(prior.chol),
+    )
+
+
+def load_prior(path: str) -> GMMPrior:
+    with np.load(path) as f:
+        return GMMPrior(
+            log_weights=jnp.asarray(f["log_weights"]),
+            means=jnp.asarray(f["means"]),
+            chol=jnp.asarray(f["chol"]),
+        )

@@ -71,14 +71,25 @@ def main():
     # conditional arm: same z, topology teacher-forced to alg i%32 — 16
     # samples per algorithm, coverage 32/32 by construction
     gen_cond = model.decode(z, alg=np.arange(len(z)) % 32)
+    # ex-post fitted prior arm: z from a GMM fitted to the aggregate
+    # posterior of the training set instead of N(0,I) (docs/PERF.md)
+    model.fit_prior(train.batch)
+    gen_fit = model.generate(len(z), prior="fitted")
     report["generation"] = _generation_metrics(gen)
     report["generation_projected"] = _generation_metrics(gen_proj)
     report["generation_conditional"] = _generation_metrics(gen_cond)
+    report["generation_fitted_prior"] = _generation_metrics(gen_fit)
+    # novelty guard for the fitted prior (it samples near training latents by
+    # construction): exact-copy rate and nearest-neighbour param distance vs
+    # the training set, reported for the free arm as the baseline
+    for section, G in (("generation", gen), ("generation_fitted_prior", gen_fit)):
+        report[section].update(_novelty(G.params, np.asarray(train.batch.params)))
     # self-consistency: re-encode each arm's samples and decode the posterior
     # mean — how much of the sample's topology/params does the model itself
-    # recognize and retain?  (on-manifold-ness of the three generation modes)
+    # recognize and retain?  (on-manifold-ness of the generation modes)
     for section, G in (("generation", gen), ("generation_projected", gen_proj),
-                       ("generation_conditional", gen_cond)):
+                       ("generation_conditional", gen_cond),
+                       ("generation_fitted_prior", gen_fit)):
         R = model.encode_decode(G)
         report[section]["roundtrip_topology_retained"] = float(
             (G.adj == R.adj).all(axis=(1, 2)).mean())
@@ -97,6 +108,18 @@ def main():
                     print(f"  {k}: {v:.4f}" if isinstance(v, float) else f"  {k}: {v}")
             else:
                 print(f"{section}: {metrics}")
+
+
+def _novelty(gen_params, train_params) -> dict:
+    """Exact-copy rate + mean nearest-neighbour fraction of differing params
+    vs the training set (0 = a byte-for-byte training patch)."""
+    g = gen_params.reshape(len(gen_params), -1)
+    t = train_params.reshape(len(train_params), -1)
+    nn = (g[:, None, :] != t[None, :, :]).mean(axis=2).min(axis=1)
+    return {
+        "exact_copy_rate": float((nn == 0.0).mean()),
+        "mean_nn_param_disagreement": float(nn.mean()),
+    }
 
 
 def _valid_topology_rate(adj) -> float:
