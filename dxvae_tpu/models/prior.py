@@ -70,20 +70,60 @@ def _chol_of_cov(cov, reg):
     return jnp.linalg.cholesky(cov + reg * jnp.eye(z, dtype=cov.dtype))
 
 
+def _kmeanspp_init(key, z, k):
+    """k-means++ seeding followed by Lloyd iterations (the sklearn GMM
+    initialization, which measurably out-fits random-point seeding here).
+    Runs on whitened data; returns (k, Z) centers."""
+    n = z.shape[0]
+    k0, key = jax.random.split(key)
+    first = z[jax.random.randint(k0, (), 0, n)]
+
+    def seed_step(carry, sub):
+        centers, n_chosen, d2 = carry
+        # d2 holds min squared distance to the centers chosen so far
+        probs = d2 / (d2.sum() + 1e-12)
+        idx = jax.random.choice(sub, n, p=probs)
+        c = z[idx]
+        centers = centers.at[n_chosen].set(c)
+        d2 = jnp.minimum(d2, jnp.sum((z - c) ** 2, axis=1))
+        return (centers, n_chosen + 1, d2), None
+
+    centers0 = jnp.zeros((k, z.shape[1]), z.dtype).at[0].set(first)
+    d2_0 = jnp.sum((z - first) ** 2, axis=1)
+    subs = jax.random.split(key, k - 1)
+    (centers, _, _), _ = jax.lax.scan(seed_step, (centers0, 1, d2_0), subs)
+
+    def lloyd(centers, _):
+        d2 = ((z[:, None, :] - centers[None]) ** 2).sum(-1)  # (N, K)
+        assign = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(assign, k, dtype=z.dtype)  # (N, K)
+        counts = onehot.sum(0)  # (K,)
+        sums = onehot.T @ z  # (K, Z)
+        new = jnp.where(counts[:, None] > 0, sums / (counts[:, None] + 1e-12), centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(lloyd, centers, None, length=15)
+    return centers
+
+
 def fit_gmm(
     z_cloud,
     n_components: int = 32,
-    n_iters: int = 60,
+    n_iters: int = 100,
     reg_covar: float = 1e-4,
     key=None,
 ) -> GMMPrior:
     """Fit a full-covariance GMM to latent samples ``z_cloud`` (N, Z) by EM.
 
-    Initialization: component means are ``n_components`` random rows of the
-    cloud, covariances the global covariance, weights uniform.  ``n_iters``
-    EM steps run as one jitted ``lax.scan`` (EM monotonically improves the
-    likelihood, so a fixed budget is safe — 60 iterations reproduces
-    sklearn-fitted generation metrics on the measured workload).
+    The cloud is whitened per-dimension before fitting (f32 EM on raw
+    latents overflows the Mahalanobis quadratic forms once components
+    tighten — whitening keeps the solves conditioned) and the fitted
+    parameters are un-whitened on the way out.  Initialization is
+    k-means++ seeding + 15 Lloyd iterations (as sklearn's GMM does —
+    random-point seeding measurably under-fits here); ``n_iters`` EM steps
+    then run as one jitted ``lax.scan``.  Degenerate E-step rows (a point
+    underflowing every component) fall back to uniform responsibility via
+    a finite-guard instead of poisoning the fit with NaNs.
     """
     z_cloud = jnp.asarray(z_cloud, jnp.float32)
     n, d = z_cloud.shape
@@ -92,40 +132,54 @@ def fit_gmm(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    idx = jax.random.choice(key, n, (n_components,), replace=False)
-    means0 = z_cloud[idx]
-    global_cov = jnp.cov(z_cloud.T).astype(jnp.float32).reshape(d, d)
-    chol0 = jnp.broadcast_to(
-        _chol_of_cov(global_cov, reg_covar), (n_components, d, d)
-    )
-    log_w0 = jnp.full((n_components,), -jnp.log(float(n_components)), jnp.float32)
-
-    def em_step(carry, _):
-        log_w, means, chol = carry
-        # E-step: responsibilities (K, N), MXU-heavy triangular solves
-        comp = jax.vmap(_component_log_prob, in_axes=(0, 0, None))(means, chol, z_cloud)
-        joint = comp + log_w[:, None]
-        log_resp = joint - jax.scipy.special.logsumexp(joint, axis=0, keepdims=True)
-        resp = jnp.exp(log_resp)  # (K, N)
-        # M-step
-        nk = resp.sum(axis=1) + 1e-10  # (K,)
-        new_means = (resp @ z_cloud) / nk[:, None]  # (K, Z)
-
-        def cov_k(r, mu):
-            diff = z_cloud - mu  # (N, Z)
-            return (diff.T * r) @ diff  # (Z, Z)
-
-        covs = jax.vmap(cov_k)(resp, new_means) / nk[:, None, None]
-        new_chol = jax.vmap(_chol_of_cov, in_axes=(0, None))(covs, reg_covar)
-        new_log_w = jnp.log(nk / nk.sum())
-        return (new_log_w, new_means, new_chol), None
+    shift = z_cloud.mean(axis=0)
+    scale = z_cloud.std(axis=0) + 1e-6
+    zw = (z_cloud - shift) / scale
 
     @jax.jit
-    def run(carry):
-        carry, _ = jax.lax.scan(em_step, carry, None, length=n_iters)
+    def run(key):
+        means0 = _kmeanspp_init(key, zw, n_components)
+        global_cov = jnp.cov(zw.T).astype(jnp.float32).reshape(d, d)
+        chol0 = jnp.broadcast_to(
+            _chol_of_cov(global_cov, reg_covar), (n_components, d, d)
+        )
+        log_w0 = jnp.full((n_components,), -jnp.log(float(n_components)), jnp.float32)
+
+        def em_step(carry, _):
+            log_w, means, chol = carry
+            # E-step: responsibilities (K, N), MXU-heavy triangular solves
+            comp = jax.vmap(_component_log_prob, in_axes=(0, 0, None))(means, chol, zw)
+            comp = jnp.where(jnp.isfinite(comp), comp, -1e30)  # overflow guard
+            joint = comp + log_w[:, None]
+            log_resp = joint - jax.scipy.special.logsumexp(joint, axis=0, keepdims=True)
+            resp = jnp.exp(log_resp)  # (K, N)
+            # M-step
+            nk = resp.sum(axis=1) + 1e-10  # (K,)
+            new_means = (resp @ zw) / nk[:, None]  # (K, Z)
+
+            def cov_k(r, mu):
+                diff = zw - mu  # (N, Z)
+                return (diff.T * r) @ diff  # (Z, Z)
+
+            covs = jax.vmap(cov_k)(resp, new_means) / nk[:, None, None]
+            new_chol = jax.vmap(_chol_of_cov, in_axes=(0, None))(covs, reg_covar)
+            new_log_w = jnp.log(nk / nk.sum())
+            return (new_log_w, new_means, new_chol), None
+
+        carry, _ = jax.lax.scan(em_step, (log_w0, means0, chol0), None, length=n_iters)
         return carry
 
-    log_w, means, chol = run((log_w0, means0, chol0))
+    log_w, means, chol = run(key)
+    # un-whiten: z = shift + scale * zw  =>  mean = shift + scale*mu_w,
+    # cov = diag(scale) cov_w diag(scale)  =>  chol = diag(scale) @ chol_w
+    means = shift + scale * means
+    chol = scale[None, :, None] * chol
+    if not all(bool(jnp.isfinite(a).all()) for a in (log_w, means, chol)):
+        # a NaN prior would silently decode every sample to an empty graph;
+        # fail loudly at the fit instead
+        raise FloatingPointError(
+            "GMM EM produced non-finite parameters; raise reg_covar or lower "
+            "n_components")
     return GMMPrior(log_weights=log_w, means=means, chol=chol)
 
 

@@ -48,12 +48,19 @@ def make_train_step(
     The batch arrays arrive sharded on the mesh 'data' axis; all loss
     reductions are global batch means, so XLA's sharding propagation inserts
     the gradient all-reduce over ICI automatically — no explicit pmap/psum.
+
+    The step also accepts an optional trailing ``w_kld`` — a traced scalar
+    overriding ``weights.w_kld`` — so KL schedules (e.g. warmup annealing,
+    docs/PERF.md "KL warmup annealing") run with zero retraces.  Omitting it
+    keeps the constant-weight program.
     """
 
-    def step_fn(state: TrainState, X, P, adj, key):
+    def step_fn(state: TrainState, X, P, adj, key, w_kld=None):
+        w = weights if w_kld is None else LossWeights(weights.w_env, weights.w_frq, w_kld)
+
         def loss_fn(params):
             total, aux = forward(
-                params, X, P, adj, key=key, training=True, weights=weights, cfg=cfg
+                params, X, P, adj, key=key, training=True, weights=w, cfg=cfg
             )
             return total, aux
 

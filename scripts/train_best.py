@@ -30,6 +30,11 @@ ap.add_argument("--w-kld", type=float, default=0.002,
                 help="KL weight: 0.002 (default) optimizes reconstruction; "
                      "higher values (e.g. 0.01) tighten the posterior toward "
                      "the prior for better prior-sample generation")
+ap.add_argument("--anneal-frac", type=float, default=0.0,
+                help="KL warmup: ramp w_kld linearly from 0 to --w-kld over "
+                     "this fraction of total steps (0 = constant weight). "
+                     "Measured: --anneal-frac 0.2 --w-kld 0.01 is the best "
+                     "recipe for fitted-prior generation (docs/PERF.md)")
 ap.add_argument("--raw-dir", default=None,
                 help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
 args = ap.parse_args()
@@ -55,17 +60,25 @@ state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
 print("params:", param_count(state.params))
 step = make_train_step(opt, cfg, weights)
 
+anneal_steps = int(total_steps * args.anneal_frac)
 rng = np.random.default_rng(0)
 key = jax.random.PRNGKey(1)
 t0 = time.time()
 last = None
+gstep = 0
 for epoch in range(EPOCHS):
     perm = rng.permutation(n)
     for i in range(iters):
         idx = perm[i * BATCH : (i + 1) * BATCH]
         key, sub = jax.random.split(key)
-        state, m = step(state, X[idx], P[idx], A[idx], sub)
+        if anneal_steps:
+            # traced scalar: the schedule costs zero retraces
+            w = np.float32(args.w_kld * min(1.0, gstep / anneal_steps))
+            state, m = step(state, X[idx], P[idx], A[idx], sub, w)
+        else:
+            state, m = step(state, X[idx], P[idx], A[idx], sub)
         last = m
+        gstep += 1
     if epoch % 500 == 0 or epoch == EPOCHS - 1:
         print(f"epoch {epoch}: loss {float(last['loss']):.4f} "
               f"(wall {time.time()-t0:.0f}s)", flush=True)

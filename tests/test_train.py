@@ -40,6 +40,29 @@ def test_loss_decreases(dataset):
     assert int(state.step) == 8
 
 
+def test_traced_w_kld_matches_baked_weights(dataset):
+    """The step's optional traced w_kld (KL-schedule support) must reproduce
+    the baked-constant program exactly when passed the same value."""
+    X, P, adj = _batch(dataset, 16)
+    opt = make_optimizer(1e-3)
+    key = jax.random.PRNGKey(1)
+    s_baked = init_train_state(jax.random.PRNGKey(0), opt, CFG)
+    s_traced = init_train_state(jax.random.PRNGKey(0), opt, CFG)
+    step = make_train_step(opt, CFG, LossWeights(w_kld=0.01), donate=False)
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        s_baked, m_b = step(s_baked, X, P, adj, sub)
+        s_traced, m_t = step(s_traced, X, P, adj, sub, np.float32(0.01))
+    np.testing.assert_allclose(float(m_b["loss"]), float(m_t["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_baked.params), jax.tree.leaves(s_traced.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    # and a DIFFERENT traced value changes the loss (the scalar is live)
+    key, sub = jax.random.split(key)
+    _, m0 = step(s_traced, X, P, adj, sub, np.float32(0.0))
+    _, m1 = step(s_traced, X, P, adj, sub, np.float32(10.0))
+    assert float(m0["loss"]) != float(m1["loss"])
+
+
 def test_adamw_matches_torch_step(dataset):
     """One AdamW step from identical weights/grads must match torch.optim.AdamW
     (lr 1e-3, betas (0.9, 0.999), eps 1e-8, wd 0.01 — reference model.py:375)."""
