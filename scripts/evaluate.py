@@ -61,6 +61,22 @@ def main():
         report["held_out"] = reconstruction_metrics(held, model.encode_decode(held))
         report["held_out"]["n"] = len(held)
 
+    # teacher-forced ELBO (eval mode: posterior mean, reference-default loss
+    # weights 2/5/0.01) on train and held-out — the likelihood-side view of
+    # generalization that reconstruction accuracies alone miss
+    from dxvae_tpu.parallel.train import make_eval_step
+
+    ev = make_eval_step(model.cfg)
+
+    def _elbo(G):
+        m = ev(model.params, np.asarray(G.X, np.float32),
+               np.asarray(G.params, np.int32), np.asarray(G.adj, np.float32))
+        return {k: round(float(v), 4) for k, v in m.items()}
+
+    report["elbo"] = {"train": _elbo(train.batch)}
+    if held is not None and len(held):
+        report["elbo"]["held_out"] = _elbo(held)
+
     # same prior samples with and without topology projection, so the
     # projected row isolates the projection's effect (not sampling noise)
     import jax
