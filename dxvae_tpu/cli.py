@@ -72,12 +72,19 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 
 def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
-                  alg=None, fit_from=None, n_components=32):
+                  alg=None, fit_from=None, n_components=32, prior_path=None,
+                  save_prior_path=None):
     model = _model_for(chk, seed)
-    if fit_from is not None:
+    if prior_path is not None:
+        model.load_prior(prior_path)
+    elif fit_from is not None:
         model.fit_prior(fit_from, n_components=n_components)
+    if save_prior_path is not None:
+        model.save_prior(save_prior_path)
+        print(f"wrote prior {save_prior_path}")
+    fitted = prior_path is not None or fit_from is not None
     G_gen = model.generate(n, project_topology=project_topology, alg=alg,
-                           prior="fitted" if fit_from is not None else "standard")
+                           prior="fitted" if fitted else "standard")
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -158,6 +165,13 @@ def main(argv=None) -> int:
                          "to the dataset's aggregate posterior instead of "
                          "N(0,I) — measured ~4x valid-topology rate at zero "
                          "training cost (fits in seconds; needs --raw-dir data)")
+    sp.add_argument("--prior", default=None, metavar="PATH",
+                    help="load a saved fitted prior (.npz from --save-prior / "
+                         "save_prior) instead of fitting — no dataset needed; "
+                         "e.g. checkpoints/dx_h1024.prior.npz for the flagship")
+    sp.add_argument("--save-prior", default=None, metavar="PATH",
+                    help="persist the prior fitted via --fitted-prior for "
+                         "later --prior runs")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
@@ -224,13 +238,20 @@ def main(argv=None) -> int:
         decode_test(G.slice(args.index, args.index + 1), args.checkpoint,
                     args.stochastic, seed=cfg.seed)
     elif args.cmd == "generate":
-        fit_from = _load_graphs(args) if args.fitted_prior is not None else None
+        fit_from = (_load_graphs(args)
+                    if args.fitted_prior is not None and args.prior is None
+                    else None)
+        if args.save_prior is not None and fit_from is None:
+            raise SystemExit("--save-prior needs --fitted-prior (a fresh fit); "
+                             "--prior loads an already-saved one")
         G_gen = generate_test(args.n, args.checkpoint, printout=not args.quiet,
                               alg=args.alg,
                               seed=cfg.seed,
                               project_topology=args.project_topology,
                               fit_from=fit_from,
-                              n_components=args.fitted_prior or 32)
+                              n_components=args.fitted_prior or 32,
+                              prior_path=args.prior,
+                              save_prior_path=args.save_prior)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,

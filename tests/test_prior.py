@@ -120,3 +120,25 @@ def test_fitted_prior_tracks_aggregate_posterior(model, dataset):
     z01 = np.asarray(jax.random.normal(jax.random.PRNGKey(7), mu.shape))
     lp_n01_draws = float(log_prob(model.prior, z01).mean())
     assert lp_cloud > lp_n01_draws
+
+
+def test_cli_prior_save_load_surface(model, dataset, tmp_path):
+    """CLI wiring: --fitted-prior --save-prior persists the fit; later
+    --prior runs load it (no dataset) and are deterministic per seed (the
+    fit run itself consumes extra PRNG keys, so it is not expected to match
+    the load run sample-for-sample); --save-prior without a fresh fit is
+    rejected."""
+    from dxvae_tpu import cli
+    from dxvae_tpu.models.prior import load_prior
+
+    p = tmp_path / "cli_prior.npz"
+    G16 = dataset[:16]
+    cli.generate_test(n=4, printout=False, seed=3, fit_from=G16,
+                      n_components=4, save_prior_path=str(p))
+    assert p.exists() and load_prior(str(p)).n_components == 4
+    b = cli.generate_test(n=4, printout=False, seed=3, prior_path=str(p))
+    c = cli.generate_test(n=4, printout=False, seed=3, prior_path=str(p))
+    np.testing.assert_array_equal(b.params, c.params)
+    np.testing.assert_array_equal(b.adj, c.adj)
+    with pytest.raises(SystemExit, match="--fitted-prior"):
+        cli.main(["generate", "--n", "1", "--quiet", "--save-prior", str(p)])
