@@ -182,7 +182,8 @@ def test_trained_checkpoint_quality(dataset):
 
     from dxvae_tpu.utils.checkpoint import infer_sizes
 
-    cks = sorted(glob.glob("/root/repo/checkpoints/dx_*.npz"))
+    cks = sorted(p for p in glob.glob("/root/repo/checkpoints/dx_*.npz")
+                 if not p.endswith(".prior.npz"))  # fitted-prior artifacts
     assert cks, "no shipped checkpoints found under /root/repo/checkpoints"
     G = dataset[:128]
     for ck in cks:
