@@ -265,7 +265,7 @@ class DXVAE:
         return self.decode(z, project_topology=project_topology)
 
     def generate(self, n: int, project_topology: bool = False, alg=None,
-                 prior: str = "standard") -> GraphBatch:
+                 prior: str = "standard", temperature: float = 1.0) -> GraphBatch:
         """Sample z from the prior and decode (model.py:264-268); see
         :meth:`decode` for ``project_topology`` and algorithm-conditional
         ``alg``.
@@ -274,15 +274,22 @@ class DXVAE:
         ``prior="fitted"`` draws from the ex-post GMM fitted to the aggregate
         posterior by :meth:`fit_prior` — the measured highest-quality sampling
         mode (valid-topology ~4x the standard prior at zero training cost,
-        with zero training-set copies; docs/PERF.md "Ex-post fitted prior")."""
+        with zero training-set copies; docs/PERF.md "Ex-post fitted prior").
+
+        ``temperature`` scales the sampled z (standard prior: ``z = T*eps``;
+        fitted prior: T scales the offset from the drawn component's mean, so
+        mixture coverage survives low T).  Measured tradeoff on the flagship:
+        docs/PERF.md "Sampling temperature"."""
         if prior == "fitted":
             if self.prior is None:
                 raise ValueError(
                     "prior='fitted' needs a fitted prior: call fit_prior(G) "
                     "first (seconds), or load one with load_prior(path)")
-            z = sample_gmm(self.prior, self._next_key(), n)
+            z = sample_gmm(self.prior, self._next_key(), n,
+                           temperature=temperature)
         elif prior == "standard":
-            z = jax.random.normal(self._next_key(), (n, self.cfg.size_z), jnp.float32)
+            z = temperature * jax.random.normal(
+                self._next_key(), (n, self.cfg.size_z), jnp.float32)
         else:
             raise ValueError(f"unknown prior {prior!r}: 'standard' or 'fitted'")
         return self.decode(z, project_topology=project_topology, alg=alg)

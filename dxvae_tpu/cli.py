@@ -73,7 +73,7 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
                   alg=None, fit_from=None, n_components=32, prior_path=None,
-                  save_prior_path=None):
+                  save_prior_path=None, temperature=1.0):
     model = _model_for(chk, seed)
     if prior_path is not None:
         model.load_prior(prior_path)
@@ -84,11 +84,44 @@ def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
         print(f"wrote prior {save_prior_path}")
     fitted = prior_path is not None or fit_from is not None
     G_gen = model.generate(n, project_topology=project_topology, alg=alg,
-                           prior="fitted" if fitted else "standard")
+                           prior="fitted" if fitted else "standard",
+                           temperature=temperature)
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
     return G_gen
+
+
+def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
+                project_topology=False, checksum="parity", printout=True):
+    """Walk the latent segment between patches ``a`` and ``b`` of ``G`` in
+    ``steps`` steps and decode the whole path in ONE batched call — the
+    autoregressive decoder is vectorized over the batch, so the sweep costs
+    a single device round trip (beyond-reference; BASELINE.json config 5).
+    ``out`` writes the path as 32-voice .syx banks, the last padded by
+    repeating the final patch."""
+    model = _model_for(chk, seed)
+    mu, _ = model.encode(G[np.array([a, b])])
+    mu = np.asarray(mu)
+    t = np.linspace(0.0, 1.0, steps, dtype=np.float32)[:, None]
+    G_path = model.decode((1.0 - t) * mu[0] + t * mu[1],
+                          project_topology=project_topology)
+    if printout:
+        print("algorithm along path:", G_path.params[:, 0, 18].tolist())
+        print("edge count along path:",
+              G_path.adj.sum(axis=(1, 2)).astype(int).tolist())
+    if out:
+        for k in range(-(-steps // 32)):
+            win = GraphBatch(*(np.asarray(f)[k * 32:(k + 1) * 32]
+                               for f in G_path))
+            if len(win.X) < 32:
+                pad = 32 - len(win.X)
+                win = GraphBatch(*(np.concatenate(
+                    [f, np.repeat(f[-1:], pad, axis=0)]) for f in win))
+            path = out if steps <= 32 else out.replace(".syx", f"_{k}.syx")
+            graph_to_syx(win, path, checksum=checksum)
+            print(f"wrote {path}")
+    return G_path
 
 
 def forward_test(G, chk=None):
@@ -172,7 +205,24 @@ def main(argv=None) -> int:
     sp.add_argument("--save-prior", default=None, metavar="PATH",
                     help="persist the prior fitted via --fitted-prior for "
                          "later --prior runs")
+    sp.add_argument("--temperature", type=float, default=1.0, metavar="T",
+                    help="scale sampled z by T (fitted prior: scales the "
+                         "offset from the component mean, keeping mixture "
+                         "coverage); T<1 trades diversity for on-manifold "
+                         "samples — measured tradeoff in docs/PERF.md")
     sp.add_argument("--quiet", action="store_true")
+    sp = sub.add_parser("interpolate",
+                        help="decode the latent segment between two dataset "
+                             "patches in one batched call; optionally write "
+                             "the sweep as .syx banks (beyond-reference)")
+    common(sp)
+    sp.add_argument("--a", type=int, default=0, help="start patch index")
+    sp.add_argument("--b", type=int, default=1, help="end patch index")
+    sp.add_argument("--steps", type=int, default=32)
+    sp.add_argument("--out", default=None, help="write 32-voice .syx banks here")
+    sp.add_argument("--computed-checksum", action="store_true")
+    sp.add_argument("--project-topology", action="store_true",
+                    help="snap every step to the nearest valid DX7 algorithm")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
     sp.add_argument("--index", type=int, default=15)
@@ -210,7 +260,7 @@ def main(argv=None) -> int:
     args.raw_dir = cfg.raw_dir
     args.checkpoint = cfg.checkpoint
 
-    if args.cmd in ("decode-test", "generate", "forward-test"):
+    if args.cmd in ("decode-test", "generate", "forward-test", "interpolate"):
         from pathlib import Path as _P
 
         if not _P(args.checkpoint).exists():
@@ -251,13 +301,20 @@ def main(argv=None) -> int:
                               fit_from=fit_from,
                               n_components=args.fitted_prior or 32,
                               prior_path=args.prior,
-                              save_prior_path=args.save_prior)
+                              save_prior_path=args.save_prior,
+                              temperature=args.temperature)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,
                 checksum="computed" if args.computed_checksum else "parity",
             )
             print(f"wrote {args.out}")
+    elif args.cmd == "interpolate":
+        G = _load_graphs(args)
+        interpolate(G, args.a, args.b, args.steps, args.checkpoint,
+                    seed=cfg.seed, out=args.out,
+                    project_topology=args.project_topology,
+                    checksum="computed" if args.computed_checksum else "parity")
     elif args.cmd == "forward-test":
         G = _load_graphs(args)
         forward_test(G.slice(args.index, args.index + 1), args.checkpoint)

@@ -183,14 +183,20 @@ def fit_gmm(
     return GMMPrior(log_weights=log_w, means=means, chol=chol)
 
 
-def sample_gmm(prior: GMMPrior, key, n: int) -> jnp.ndarray:
-    """Draw ``n`` latent samples from the fitted mixture: (n, Z) float32."""
+def sample_gmm(prior: GMMPrior, key, n: int,
+               temperature: float = 1.0) -> jnp.ndarray:
+    """Draw ``n`` latent samples from the fitted mixture: (n, Z) float32.
+
+    ``temperature`` scales each draw's offset from its component mean
+    (T=1 samples the fitted density, T<1 concentrates toward component
+    means, T=0 returns the means themselves); component choice is
+    unaffected, so coverage of the mixture stays intact at any T."""
     k_comp, k_eps = jax.random.split(key)
     comps = jax.random.categorical(k_comp, prior.log_weights, shape=(n,))
     eps = jax.random.normal(k_eps, (n, prior.means.shape[1]), jnp.float32)
-    # z_i = mean_c + L_c @ eps_i, gathered per sample
+    # z_i = mean_c + T * L_c @ eps_i, gathered per sample
     L = prior.chol[comps]  # (n, Z, Z)
-    return prior.means[comps] + jnp.einsum("nij,nj->ni", L, eps)
+    return prior.means[comps] + temperature * jnp.einsum("nij,nj->ni", L, eps)
 
 
 def save_prior(path: str, prior: GMMPrior) -> None:

@@ -141,6 +141,22 @@ def test_cli_workflows(tmp_path):
     assert "#0 Params:" in r.stdout and "#0 Edges:" in r.stdout
 
 
+def test_cli_interpolate(dataset, tmp_path):
+    """Latent interpolation workflow: one batched decode of the whole path,
+    multi-bank .syx export (steps > 32), composes with topology projection."""
+    from dxvae_tpu.cli import interpolate
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    out = tmp_path / "interp.syx"
+    G = interpolate(dataset[:8], a=0, b=7, steps=37, out=str(out),
+                    project_topology=True, printout=False)
+    assert len(G.X) == 37
+    for f in ("interp_0.syx", "interp_1.syx"):  # 37 steps -> 2 padded banks
+        assert (tmp_path / f).stat().st_size == 4104
+    rows = {a.tobytes() for a in ALGO_ADJ.astype(np.uint8)}
+    assert all(a.tobytes() in rows for a in G.adj.astype(np.uint8))
+
+
 def test_generate_seed_controls_samples():
     """--seed must change the prior samples: same seed -> identical bank,
     different seed -> different patches (the reference draws from torch's

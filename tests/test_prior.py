@@ -64,6 +64,33 @@ def test_sample_gmm_matches_fitted_density():
     np.testing.assert_array_equal(z, z2)
 
 
+def test_sample_gmm_temperature():
+    cloud = _two_cluster_cloud()
+    prior = fit_gmm(cloud, n_components=2, n_iters=50)
+    # T=0 collapses every draw onto its component's mean (coverage survives:
+    # both components are still drawn); T=1 is the plain fitted sample
+    z0 = np.asarray(sample_gmm(prior, jax.random.PRNGKey(5), 256, temperature=0.0))
+    means = np.asarray(prior.means)
+    rows = {m.tobytes() for m in means}
+    assert all(z.tobytes() in rows for z in z0)
+    assert len({z.tobytes() for z in z0}) == 2
+    # same key: T scales the offset from the mean linearly
+    z1 = np.asarray(sample_gmm(prior, jax.random.PRNGKey(5), 256, temperature=1.0))
+    zh = np.asarray(sample_gmm(prior, jax.random.PRNGKey(5), 256, temperature=0.5))
+    np.testing.assert_allclose(zh - z0, 0.5 * (z1 - z0), rtol=1e-5, atol=1e-6)
+
+
+def test_generate_temperature_surface(model):
+    """temperature=0 with the standard prior decodes z=0 — every sample
+    identical; the knob composes with the fitted prior."""
+    G = model.generate(4, temperature=0.0)
+    for i in range(1, 4):
+        np.testing.assert_array_equal(G.params[0], G.params[i])
+        np.testing.assert_array_equal(G.adj[0], G.adj[i])
+    Gf = model.generate(4, prior="fitted", temperature=0.5)
+    assert Gf.X.shape == (4, 7, 27)
+
+
 def test_fit_gmm_rejects_more_components_than_samples():
     with pytest.raises(ValueError, match="exceeds"):
         fit_gmm(np.zeros((4, 3), np.float32), n_components=8)
