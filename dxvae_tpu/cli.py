@@ -231,6 +231,19 @@ def main(argv=None) -> int:
     sp.add_argument("--index", type=int, default=0)
     sp.add_argument("--count", type=int, default=1)
     sp = sub.add_parser(
+        "export-serving",
+        help="export an AOT serving bundle: StableHLO at fixed batch "
+             "buckets, weights baked in — serving needs jax only, not this "
+             "package or the checkpoint (dxvae_tpu.serving)")
+    common(sp)
+    sp.add_argument("--out", required=True, help="bundle path (.npz)")
+    sp.add_argument("--batch-sizes", default="32,1024",
+                    help="comma-separated buckets; requests pad up to the "
+                         "smallest bucket that fits (default: 32,1024)")
+    sp.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets (default: cpu,tpu)")
+    sp.add_argument("--functions", default="encode,decode,roundtrip")
+    sp = sub.add_parser(
         "convert-checkpoint",
         help="convert between our .npz and the reference's torch .chk "
              "state_dict (direction inferred from the source extension; "
@@ -260,7 +273,8 @@ def main(argv=None) -> int:
     args.raw_dir = cfg.raw_dir
     args.checkpoint = cfg.checkpoint
 
-    if args.cmd in ("decode-test", "generate", "forward-test", "interpolate"):
+    if args.cmd in ("decode-test", "generate", "forward-test", "interpolate",
+                    "export-serving"):
         from pathlib import Path as _P
 
         if not _P(args.checkpoint).exists():
@@ -315,6 +329,17 @@ def main(argv=None) -> int:
                     seed=cfg.seed, out=args.out,
                     project_topology=args.project_topology,
                     checksum="computed" if args.computed_checksum else "parity")
+    elif args.cmd == "export-serving":
+        from dxvae_tpu.serving import export_bundle
+
+        model = _model_for(args.checkpoint, cfg.seed)
+        man = export_bundle(
+            model, args.out,
+            batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
+            functions=tuple(args.functions.split(",")),
+            platforms=tuple(args.platforms.split(",")))
+        print(f"wrote {args.out}: functions {sorted(man['functions'])} at "
+              f"buckets {args.batch_sizes} for {man['platforms']}")
     elif args.cmd == "forward-test":
         G = _load_graphs(args)
         forward_test(G.slice(args.index, args.index + 1), args.checkpoint)

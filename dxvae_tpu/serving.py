@@ -1,0 +1,164 @@
+"""AOT serving bundles (beyond-reference; the reference deploys nothing —
+its only artifact is a torch state_dict, model.py:388).
+
+``jax.export`` lowers the jitted inference functions to StableHLO at fixed
+batch buckets with the weights baked in as constants, and serializes the
+result into one ``.npz`` bundle.  Loading needs jax only — not the model
+code and not the checkpoint: the artifact IS the model.  Bundles are
+lowered for several platforms at once (cpu + tpu by default), so one
+artifact serves a TPU fleet and still smoke-tests on a CPU host.
+
+Static shapes are the TPU contract: a request of any batch size ``b`` is
+zero-padded up to the smallest exported bucket >= b and the outputs are
+sliced back (classic bucketed serving).  Exported functions:
+
+- ``encode``:   (X (B,7,27) f32, adj (B,7,7) f32) -> (mu, std), each (B, Z)
+- ``decode``:   (z (B,Z) f32) -> (X (B,7,27) f32, params (B,7,21) i32,
+                adj (B,7,7) f32); deterministic given z (model.py:214-253)
+- ``roundtrip``: (X, adj) -> decode(posterior mean) — the headline
+                serving workload, one fused program
+
+Bundle layout (npz): ``manifest`` = JSON (uint8) with the model config and
+bucket table; ``<fn>/<B>`` = the serialized StableHLO artifact (uint8).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from dxvae_tpu import __version__
+from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.models.dxvae import decode as _decode
+from dxvae_tpu.models.dxvae import encode as _encode
+
+BUNDLE_VERSION = 1
+DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
+def export_bundle(model, path, batch_sizes=(32, 1024),
+                  functions=("encode", "decode", "roundtrip"),
+                  platforms=DEFAULT_PLATFORMS) -> dict:
+    """Export ``model``'s inference surface as a self-contained serving
+    bundle at the given batch buckets.  Returns the manifest."""
+    cfg = model.cfg
+    params = model.params  # baked into every artifact as constants
+
+    def encode_fn(X, adj):
+        return _encode(params, X, adj, cfg)[:2]
+
+    def decode_fn(z):
+        return _decode(params, z, cfg)
+
+    def roundtrip_fn(X, adj):
+        mu, _, _ = _encode(params, X, adj, cfg)
+        return _decode(params, mu, cfg)
+
+    fns = {"encode": encode_fn, "decode": decode_fn, "roundtrip": roundtrip_fn}
+    unknown = set(functions) - set(fns)
+    if unknown:
+        raise ValueError(f"unknown functions {sorted(unknown)}; "
+                         f"choose from {sorted(fns)}")
+
+    def arg_specs(name, b):
+        f32 = jnp.float32
+        X = jax.ShapeDtypeStruct((b, cfg.n_nodes, cfg.size_x), f32)
+        adj = jax.ShapeDtypeStruct((b, cfg.n_nodes, cfg.n_nodes), f32)
+        z = jax.ShapeDtypeStruct((b, cfg.size_z), f32)
+        return (z,) if name == "decode" else (X, adj)
+
+    buckets = sorted(set(int(b) for b in batch_sizes))
+    if not buckets or buckets[0] < 1:
+        raise ValueError(f"batch_sizes must be positive ints: {batch_sizes}")
+    blobs, manifest_fns = {}, {}
+    for name in functions:
+        for b in buckets:
+            exp = jax_export.export(jax.jit(fns[name]),
+                                    platforms=tuple(platforms))(
+                *arg_specs(name, b))
+            blobs[f"{name}/{b}"] = np.frombuffer(exp.serialize(), np.uint8)
+        manifest_fns[name] = buckets
+    manifest = {
+        "bundle_version": BUNDLE_VERSION,
+        "dxvae_tpu_version": __version__,
+        "platforms": list(platforms),
+        "functions": manifest_fns,
+        "cfg": {"n_nodes": cfg.n_nodes, "n_params": cfg.n_params,
+                "size_x": cfg.size_x, "size_x0": cfg.size_x0,
+                "size_h": cfg.size_h, "size_z": cfg.size_z,
+                "strict_parity": cfg.strict_parity, "unroll": cfg.unroll,
+                "compute_dtype": cfg.compute_dtype},
+    }
+    blobs["manifest"] = np.frombuffer(
+        json.dumps(manifest).encode(), np.uint8)
+    tmp = Path(path).with_suffix(".tmp.npz")
+    np.savez(tmp, **blobs)
+    tmp.replace(path)  # atomic publish, like utils/checkpoint.py
+    return manifest
+
+
+class ServedDXVAE:
+    """Inference against an exported bundle — no model code, no checkpoint.
+
+    Methods mirror the DXVAE inference surface and accept any batch size:
+    inputs are zero-padded to the smallest exported bucket that fits and
+    outputs sliced back.  Artifacts deserialize lazily (first call per
+    function/bucket) and are cached."""
+
+    def __init__(self, blobs: dict, manifest: dict):
+        self._blobs = blobs
+        self.manifest = manifest
+        self._compiled = {}
+
+    @classmethod
+    def load(cls, path) -> "ServedDXVAE":
+        with np.load(path) as f:
+            blobs = {k: f[k] for k in f.files}
+        manifest = json.loads(bytes(blobs.pop("manifest")).decode())
+        if manifest["bundle_version"] > BUNDLE_VERSION:
+            raise ValueError(
+                f"bundle version {manifest['bundle_version']} is newer than "
+                f"this library supports ({BUNDLE_VERSION})")
+        return cls(blobs, manifest)
+
+    def _call(self, name: str, n: int, *args):
+        buckets = self.manifest["functions"].get(name)
+        if buckets is None:
+            raise ValueError(f"bundle has no {name!r} export "
+                             f"(has: {sorted(self.manifest['functions'])})")
+        fit = [b for b in buckets if b >= n]
+        if not fit:
+            raise ValueError(
+                f"batch {n} exceeds the largest exported bucket {buckets[-1]}"
+                f" — re-export with a larger batch size")
+        b = fit[0]
+        key = (name, b)
+        if key not in self._compiled:
+            self._compiled[key] = jax_export.deserialize(
+                bytes(self._blobs[f"{name}/{b}"]))
+        pad = [np.concatenate(
+            [a, np.zeros((b - n,) + a.shape[1:], a.dtype)]) if n < b else a
+            for a in (np.asarray(a, np.float32) for a in args)]
+        out = self._compiled[key].call(*pad)
+        return tuple(np.asarray(o)[:n] for o in out)
+
+    def encode(self, G):
+        """GraphBatch (or (X, adj)) -> (mu, std)."""
+        X, adj = (G.X, G.adj) if isinstance(G, GraphBatch) else G
+        return self._call("encode", len(X), X, adj)
+
+    def decode(self, z) -> GraphBatch:
+        z = np.asarray(z, np.float32)
+        X, P, adj = self._call("decode", len(z), z)
+        return GraphBatch(X=X, params=P.astype(np.int32), adj=adj)
+
+    def encode_decode(self, G) -> GraphBatch:
+        X, adj = (G.X, G.adj) if isinstance(G, GraphBatch) else G
+        Xo, P, adjo = self._call("roundtrip", len(X), X, adj)
+        return GraphBatch(X=Xo, params=P.astype(np.int32), adj=adjo)

@@ -91,21 +91,28 @@ def main():
     # posterior of the training set instead of N(0,I) (docs/PERF.md)
     model.fit_prior(train.batch)
     gen_fit = model.generate(len(z), prior="fitted")
+    # best measured sampling mode: fitted prior at T=0.5 (docs/PERF.md
+    # "Sampling temperature" — low T concentrates within components, so
+    # validity rises while mixture coverage is untouched)
+    gen_fit_t = model.generate(len(z), prior="fitted", temperature=0.5)
     report["generation"] = _generation_metrics(gen)
     report["generation_projected"] = _generation_metrics(gen_proj)
     report["generation_conditional"] = _generation_metrics(gen_cond)
     report["generation_fitted_prior"] = _generation_metrics(gen_fit)
+    report["generation_fitted_prior_t05"] = _generation_metrics(gen_fit_t)
     # novelty guard for the fitted prior (it samples near training latents by
     # construction): exact-copy rate and nearest-neighbour param distance vs
     # the training set, reported for the free arm as the baseline
-    for section, G in (("generation", gen), ("generation_fitted_prior", gen_fit)):
+    for section, G in (("generation", gen), ("generation_fitted_prior", gen_fit),
+                       ("generation_fitted_prior_t05", gen_fit_t)):
         report[section].update(_novelty(G.params, np.asarray(train.batch.params)))
     # self-consistency: re-encode each arm's samples and decode the posterior
     # mean — how much of the sample's topology/params does the model itself
     # recognize and retain?  (on-manifold-ness of the generation modes)
     for section, G in (("generation", gen), ("generation_projected", gen_proj),
                        ("generation_conditional", gen_cond),
-                       ("generation_fitted_prior", gen_fit)):
+                       ("generation_fitted_prior", gen_fit),
+                       ("generation_fitted_prior_t05", gen_fit_t)):
         R = model.encode_decode(G)
         report[section]["roundtrip_topology_retained"] = float(
             (G.adj == R.adj).all(axis=(1, 2)).mean())

@@ -1,0 +1,115 @@
+"""AOT serving bundles (dxvae_tpu/serving.py, beyond-reference).
+
+jax.export lowers the inference surface to StableHLO at fixed batch
+buckets with weights baked in; ServedDXVAE pads requests up to a bucket
+and slices back.  The contract under test: served == direct, exactly.
+"""
+
+import numpy as np
+import pytest
+
+from dxvae_tpu.api import DXVAE
+from dxvae_tpu.serving import BUNDLE_VERSION, ServedDXVAE, export_bundle
+
+
+@pytest.fixture(scope="module")
+def bundle(tmp_path_factory):
+    model = DXVAE(size_H=64, size_Z=16, seed=0, unroll=False)
+    path = tmp_path_factory.mktemp("serving") / "tiny.bundle.npz"
+    manifest = export_bundle(model, path, batch_sizes=(4, 8),
+                             platforms=("cpu",))
+    return model, path, manifest
+
+
+def test_manifest_and_artifact(bundle):
+    model, path, manifest = bundle
+    assert path.exists()
+    assert manifest["bundle_version"] == BUNDLE_VERSION
+    assert manifest["functions"] == {f: [4, 8]
+                                     for f in ("encode", "decode", "roundtrip")}
+    assert manifest["cfg"]["size_h"] == 64 and manifest["cfg"]["size_z"] == 16
+
+
+def test_served_decode_matches_direct_with_padding(bundle):
+    """Batch 3 pads to bucket 4; batch 8 hits its bucket exactly — both must
+    equal the live model bit-for-bit (same weights, same platform)."""
+    model, path, _ = bundle
+    served = ServedDXVAE.load(path)
+    for n in (3, 8):
+        z = np.random.default_rng(n).standard_normal((n, 16)).astype(np.float32)
+        G_served = served.decode(z)
+        G_direct = model.decode(z)
+        np.testing.assert_array_equal(G_served.params, G_direct.params)
+        np.testing.assert_array_equal(G_served.adj, G_direct.adj)
+        np.testing.assert_array_equal(G_served.X, G_direct.X)
+
+
+def test_served_encode_and_roundtrip_match_direct(bundle):
+    model, path, _ = bundle
+    served = ServedDXVAE.load(path)
+    G = model.generate(5)
+    mu_s, std_s = served.encode(G)
+    mu_d, std_d = model.encode(G)
+    np.testing.assert_array_equal(mu_s, np.asarray(mu_d))
+    np.testing.assert_array_equal(std_s, np.asarray(std_d))
+    R_served = served.encode_decode(G)
+    R_direct = model.encode_decode(G)
+    np.testing.assert_array_equal(R_served.params, R_direct.params)
+    np.testing.assert_array_equal(R_served.adj, R_direct.adj)
+
+
+def test_served_rejects_oversize_and_missing_function(bundle):
+    model, path, _ = bundle
+    served = ServedDXVAE.load(path)
+    with pytest.raises(ValueError, match="largest exported bucket"):
+        served.decode(np.zeros((9, 16), np.float32))
+    served.manifest["functions"].pop("encode")
+    with pytest.raises(ValueError, match="no 'encode'"):
+        served.encode((np.zeros((1, 7, 27), np.float32),
+                       np.zeros((1, 7, 7), np.float32)))
+
+
+def test_export_rejects_bad_args(bundle):
+    model, _, _ = bundle
+    with pytest.raises(ValueError, match="unknown functions"):
+        export_bundle(model, "/tmp/x.npz", functions=("generate",))
+    with pytest.raises(ValueError, match="positive"):
+        export_bundle(model, "/tmp/x.npz", batch_sizes=())
+
+
+def test_bundle_loads_without_model_code(bundle, tmp_path):
+    """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
+    import) can deserialize and run a bundle's decode artifact."""
+    import subprocess
+    import sys
+
+    model, path, _ = bundle
+    code = f"""
+import jax; jax.config.update('jax_platforms', 'cpu')
+import json
+import numpy as np
+from jax import export
+with np.load({str(path)!r}) as f:
+    manifest = json.loads(bytes(f['manifest']).decode())
+    art = export.deserialize(bytes(f['decode/4']))
+z = np.zeros((4, manifest['cfg']['size_z']), np.float32)
+X, P, adj = art.call(z)
+assert X.shape == (4, 7, 27) and adj.shape == (4, 7, 7)
+print('SERVED_OK')
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "SERVED_OK" in r.stdout
+    # and the bundle refuses a future format version
+    import json as _json
+
+    with np.load(path) as f:
+        blobs = {k: f[k] for k in f.files}
+    man = _json.loads(bytes(blobs["manifest"]).decode())
+    man["bundle_version"] = BUNDLE_VERSION + 1
+    blobs["manifest"] = np.frombuffer(_json.dumps(man).encode(), np.uint8)
+    newer = tmp_path / "newer.npz"
+    np.savez(newer, **blobs)
+    with pytest.raises(ValueError, match="newer"):
+        ServedDXVAE.load(newer)
