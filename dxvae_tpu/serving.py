@@ -44,9 +44,14 @@ DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 def export_bundle(model, path, batch_sizes=(32, 1024),
                   functions=("encode", "decode", "roundtrip"),
-                  platforms=DEFAULT_PLATFORMS) -> dict:
+                  platforms=DEFAULT_PLATFORMS, include_prior=True) -> dict:
     """Export ``model``'s inference surface as a self-contained serving
-    bundle at the given batch buckets.  Returns the manifest."""
+    bundle at the given batch buckets.  Returns the manifest.
+
+    If the model has a fitted prior (``fit_prior``/``load_prior``) and
+    ``include_prior`` is true, its GMM parameters ride along (a few hundred
+    KB) so ``ServedDXVAE.generate`` can sample the fitted density at serve
+    time — z sampling is plain NumPy, so generation needs no extra export."""
     cfg = model.cfg
     params = model.params  # baked into every artifact as constants
 
@@ -95,6 +100,10 @@ def export_bundle(model, path, batch_sizes=(32, 1024),
                 "strict_parity": cfg.strict_parity, "unroll": cfg.unroll,
                 "compute_dtype": cfg.compute_dtype},
     }
+    if include_prior and getattr(model, "prior", None) is not None:
+        for k, v in zip(("log_weights", "means", "chol"), model.prior):
+            blobs[f"prior/{k}"] = np.asarray(v)
+        manifest["has_prior"] = True
     blobs["manifest"] = np.frombuffer(
         json.dumps(manifest).encode(), np.uint8)
     tmp = Path(path).with_suffix(".tmp.npz")
@@ -162,3 +171,30 @@ class ServedDXVAE:
         X, adj = (G.X, G.adj) if isinstance(G, GraphBatch) else G
         Xo, P, adjo = self._call("roundtrip", len(X), X, adj)
         return GraphBatch(X=Xo, params=P.astype(np.int32), adj=adjo)
+
+    def generate(self, n: int, seed: int = 0, prior: str | None = None,
+                 temperature: float = 1.0) -> GraphBatch:
+        """Prior-sample ``n`` patches.  z sampling is plain NumPy on the host
+        (only the decode runs the exported artifact): ``prior='fitted'`` uses
+        the bundled GMM (defaults to it when the bundle has one),
+        ``'standard'`` is N(0, I); ``temperature`` as in DXVAE.generate."""
+        if prior is None:
+            prior = "fitted" if self.manifest.get("has_prior") else "standard"
+        rng = np.random.default_rng(seed)
+        Z = self.manifest["cfg"]["size_z"]
+        if prior == "fitted":
+            if not self.manifest.get("has_prior"):
+                raise ValueError("bundle has no fitted prior: re-export from "
+                                 "a model after fit_prior()/load_prior()")
+            lw = self._blobs["prior/log_weights"]
+            means = self._blobs["prior/means"]
+            chol = self._blobs["prior/chol"]
+            comps = rng.choice(len(lw), size=n, p=np.exp(lw) / np.exp(lw).sum())
+            eps = rng.standard_normal((n, Z)).astype(np.float32)
+            z = means[comps] + temperature * np.einsum(
+                "nij,nj->ni", chol[comps], eps)
+        elif prior == "standard":
+            z = temperature * rng.standard_normal((n, Z)).astype(np.float32)
+        else:
+            raise ValueError(f"unknown prior {prior!r}: 'standard' or 'fitted'")
+        return self.decode(z.astype(np.float32))

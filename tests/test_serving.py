@@ -77,6 +77,45 @@ def test_export_rejects_bad_args(bundle):
         export_bundle(model, "/tmp/x.npz", batch_sizes=())
 
 
+def test_served_generate_with_bundled_prior(bundle, tmp_path, dataset):
+    """A model with a fitted prior exports it into the bundle; the served
+    generate() samples the GMM with host-side NumPy (fitted is the default
+    when present) and T=0 lands exactly on component means."""
+    model, _, _ = bundle
+    model.fit_prior(dataset[:32], n_components=3, samples_per_patch=2,
+                    n_iters=5)
+    path = tmp_path / "with_prior.npz"
+    export_bundle(model, path, batch_sizes=(4,), platforms=("cpu",))
+    served = ServedDXVAE.load(path)
+    assert served.manifest["has_prior"]
+    G = served.generate(4, seed=1)  # defaults to the bundled fitted prior
+    assert G.params.shape == (4, 7, 21)
+    # T=0 z's are component means: decode must equal decoding those means
+    lw = served._blobs["prior/log_weights"]
+    means = served._blobs["prior/means"]
+    comps = np.random.default_rng(7).choice(
+        len(lw), size=4, p=np.exp(lw) / np.exp(lw).sum())
+    G0 = served.generate(4, seed=7, temperature=0.0)
+    Gm = served.decode(means[comps].astype(np.float32))
+    np.testing.assert_array_equal(G0.params, Gm.params)
+    # standard prior still reachable; unknown prior rejected
+    served.generate(2, prior="standard")
+    with pytest.raises(ValueError, match="unknown prior"):
+        served.generate(2, prior="gmm")
+    # prior-less bundle: fitted raises, default falls back to standard
+    fitted = model.prior
+    try:
+        model.prior = None
+        bare = tmp_path / "bare.npz"
+        export_bundle(model, bare, batch_sizes=(4,), platforms=("cpu",))
+    finally:
+        model.prior = fitted
+    served_bare = ServedDXVAE.load(bare)
+    with pytest.raises(ValueError, match="no fitted prior"):
+        served_bare.generate(2, prior="fitted")
+    assert served_bare.generate(2).params.shape == (2, 7, 21)
+
+
 def test_bundle_loads_without_model_code(bundle, tmp_path):
     """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
     import) can deserialize and run a bundle's decode artifact."""
