@@ -170,6 +170,18 @@ def test_generate_seed_controls_samples():
     assert not np.array_equal(a.params, c.params)
 
 
+def test_cli_generate_temperature():
+    """--temperature plumbs through: T=0 makes every standard-prior sample
+    decode the same z=0 patch; T=1 (default) does not."""
+    from dxvae_tpu.cli import generate_test
+
+    a = generate_test(n=3, printout=False, seed=0, temperature=0.0)
+    np.testing.assert_array_equal(a.params[0], a.params[1])
+    np.testing.assert_array_equal(a.params[1], a.params[2])
+    b = generate_test(n=3, printout=False, seed=0)
+    assert not np.array_equal(b.params[0], b.params[1])
+
+
 def test_metrics_csv_appends_on_resume(tmp_path):
     """A resumed run (append=True, as the CLI's train-on passes) must extend
     the CSV under one header; see test_config.py for the truncate default."""
