@@ -100,6 +100,8 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
     a single device round trip (beyond-reference; BASELINE.json config 5).
     ``out`` writes the path as 32-voice .syx banks, the last padded by
     repeating the final patch."""
+    if steps < 2:
+        raise ValueError("interpolation needs steps >= 2 (the two endpoints)")
     model = _model_for(chk, seed)
     mu, _ = model.encode(G[np.array([a, b])])
     mu = np.asarray(mu)
@@ -122,6 +124,35 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
             graph_to_syx(win, path, checksum=checksum)
             print(f"wrote {path}")
     return G_path
+
+
+def search(ds, query: GraphBatch, k=5, chk=None, seed=0, metric="l2",
+           printout=True):
+    """Latent patch search (beyond-reference): encode the corpus and a query
+    patch, return the k nearest corpus patches in posterior-mean space.
+    Encoding is ~5.6x cheaper than generation (docs/PERF.md "Batch scaling"),
+    so indexing a whole library is one cheap batched call.  Returns a list of
+    (dataset index, distance) pairs, nearest first."""
+    model = _model_for(chk, seed)
+    mu_c, _ = model.encode(ds.batch)
+    mu_q, _ = model.encode(query)
+    mu_c = np.asarray(mu_c, np.float64)
+    mu_q = np.asarray(mu_q, np.float64)[0]
+    if metric == "cosine":
+        d = 1.0 - (mu_c @ mu_q) / (
+            np.linalg.norm(mu_c, axis=1) * np.linalg.norm(mu_q) + 1e-30)
+    else:
+        d = np.linalg.norm(mu_c - mu_q, axis=1)
+    order = np.argsort(d, kind="stable")[:k]
+    hits = [(int(i), float(d[i])) for i in order]
+    if printout:
+        names = ds.names
+        for rank, (i, dist) in enumerate(hits):
+            f, voice = ds.provenance(i)
+            alg = int(ds.batch.params[i, 0, 18])
+            print(f"#{rank} idx {i}\t{metric} {dist:.4f}\t'{names[i]}'\t"
+                  f"alg {alg}\t{f.name}[{voice}]")
+    return hits
 
 
 def forward_test(G, chk=None):
@@ -223,6 +254,19 @@ def main(argv=None) -> int:
     sp.add_argument("--computed-checksum", action="store_true")
     sp.add_argument("--project-topology", action="store_true",
                     help="snap every step to the nearest valid DX7 algorithm")
+    sp = sub.add_parser("search",
+                        help="latent patch search: k nearest corpus patches "
+                             "to a query, in posterior-mean space "
+                             "(beyond-reference)")
+    common(sp)
+    sp.add_argument("--index", type=int, default=0,
+                    help="query = this dataset patch (default 0)")
+    sp.add_argument("--query-bank", default=None, metavar="PATH",
+                    help="query an external 32-voice .syx instead")
+    sp.add_argument("--query-voice", type=int, default=0,
+                    help="voice within --query-bank (default 0)")
+    sp.add_argument("--k", type=int, default=5)
+    sp.add_argument("--metric", default="l2", choices=["l2", "cosine"])
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
     sp.add_argument("--index", type=int, default=15)
@@ -274,7 +318,7 @@ def main(argv=None) -> int:
     args.checkpoint = cfg.checkpoint
 
     if args.cmd in ("decode-test", "generate", "forward-test", "interpolate",
-                    "export-serving"):
+                    "export-serving", "search"):
         from pathlib import Path as _P
 
         if not _P(args.checkpoint).exists():
@@ -329,6 +373,18 @@ def main(argv=None) -> int:
                     seed=cfg.seed, out=args.out,
                     project_topology=args.project_topology,
                     checksum="computed" if args.computed_checksum else "parity")
+    elif args.cmd == "search":
+        ds = DXDataset(args.raw_dir,
+                       include="synprez" if args.synprez_only else None)
+        if args.query_bank is not None:
+            from dxvae_tpu.data.sysex import read_syx, unpack_voices
+
+            P, X, adjq = unpack_voices(read_syx(args.query_bank))
+            q = GraphBatch(X=X, params=P, adj=adjq)[args.query_voice]
+        else:
+            q = ds[args.index]
+        search(ds, q, k=args.k, chk=args.checkpoint, seed=cfg.seed,
+               metric=args.metric)
     elif args.cmd == "export-serving":
         from dxvae_tpu.serving import export_bundle
 

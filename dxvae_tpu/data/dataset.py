@@ -103,6 +103,26 @@ class DXDataset:
         with np.load(self._cache_path) as z:
             return GraphBatch(X=z["X"], params=z["params"], adj=z["adj"])
 
+    # -- provenance ------------------------------------------------------------
+    def provenance(self, i: int) -> tuple[Path, int]:
+        """(bank file, voice index within the bank) for dataset patch ``i`` —
+        every bank contributes exactly 32 voices in file-sorted order."""
+        i = range(len(self))[i]  # normalize negatives, bounds-check
+        return self.files[i // 32], i % 32
+
+    @property
+    def names(self) -> np.ndarray:
+        """(N,) array of the 10-char voice names (bytes 118-127 of each
+        packed voice; the model itself never sees them — the reference
+        discards names too, dxdata.py:175-244).  Read lazily from the raw
+        banks and cached."""
+        if not hasattr(self, "_names"):
+            raw = np.concatenate([read_syx(f) for f in self.files])
+            chars = np.where((raw[:, 118:128] < 32) | (raw[:, 118:128] > 126),
+                             np.uint8(32), raw[:, 118:128].astype(np.uint8))
+            self._names = chars.view(f"S10").ravel().astype("U10")
+        return self._names
+
     # -- container protocol --------------------------------------------------
     def __len__(self) -> int:
         return len(self.batch)

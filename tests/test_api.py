@@ -170,6 +170,33 @@ def test_generate_seed_controls_samples():
     assert not np.array_equal(a.params, c.params)
 
 
+def test_dataset_provenance_and_names(dataset):
+    """Patch i maps to files[i // 32] voice i % 32; names read the raw
+    10-char voice-name bytes the model never sees."""
+    f0, v0 = dataset.provenance(0)
+    assert f0 == dataset.files[0] and v0 == 0
+    f, v = dataset.provenance(35)
+    assert f == dataset.files[1] and v == 3
+    names = dataset.names
+    assert names.shape == (len(dataset),) and names.dtype.kind == "U"
+    assert all(len(n) <= 10 for n in names[:64])
+    # every character is printable ASCII (non-printables mapped to space)
+    assert all(all(32 <= ord(c) <= 126 for c in n) for n in names[:64])
+
+
+def test_cli_search_self_query(dataset, capsys):
+    """Querying a corpus patch returns itself at distance 0, for both
+    metrics; output lines carry provenance."""
+    from dxvae_tpu.cli import search
+
+    for metric in ("l2", "cosine"):
+        hits = search(dataset, dataset[7], k=3, metric=metric)
+        assert hits[0][0] == 7 and hits[0][1] < 1e-5
+        assert len(hits) == 3 and hits[1][1] >= hits[0][1]
+    out = capsys.readouterr().out
+    assert "idx 7" in out and dataset.files[0].name in out
+
+
 def test_cli_generate_temperature():
     """--temperature plumbs through: T=0 makes every standard-prior sample
     decode the same z=0 patch; T=1 (default) does not."""
