@@ -1,0 +1,126 @@
+"""Measured experiment: synthetic-data self-distillation.
+
+Hypothesis: fine-tuning on the model's OWN projected samples (fitted-prior z,
+topology snapped to valid DX7 algorithms, operators as decoded) teaches the
+decoder to emit valid topologies unprompted — raising free-sampling validity
+without the projection crutch.
+
+Arms (same seeds, same added compute):
+  base      — the checkpoint as shipped (no fine-tune)
+  real      — fine-tune on the real 1024-patch corpus only (control: is any
+              change just "more training"?  Earlier study: over-training
+              DEGRADES prior sampling, docs/PERF.md scaling table)
+  distill   — fine-tune on real + N synthetic projected samples
+
+Metrics per arm: valid-topology of free sampling (standard prior and a
+freshly fitted prior, n=1024 each), train/held-out reconstruction.
+Prints one JSON line per arm.
+
+Usage: python scripts/self_distill.py [--checkpoint checkpoints/dx_1024_best.npz
+           --n-synth 2048 --epochs 200 --lr 1e-4]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", default="checkpoints/dx_1024_best.npz")
+    ap.add_argument("--n-synth", type=int, default=2048)
+    ap.add_argument("--epochs", type=int, default=200)
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--size-batch", type=int, default=128)
+    ap.add_argument("--w-kld", type=float, default=0.01)
+    ap.add_argument("--raw-dir", default=None,
+                    help="bank directory (default: $DXVAE_RAW_DIR or the "
+                         "reference mount)")
+    args = ap.parse_args()
+
+    import jax
+
+    from dxvae_tpu.api import DXVAE
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+    from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
+    from dxvae_tpu.graph import GraphBatch
+    from dxvae_tpu.utils.checkpoint import infer_sizes
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    raw_dir = args.raw_dir or default_raw_dir()
+    train = DXDataset(raw_dir, save_dir="/tmp/dx_distill_cache",
+                      include="synprez")
+    full = DXDataset(raw_dir, save_dir="/tmp/dx_distill_cache")
+    train_keys = {p.tobytes() for p in train.batch.params}
+    held = full[np.asarray([i for i, p in enumerate(full.batch.params)
+                            if p.tobytes() not in train_keys])]
+
+    size_h, size_z = infer_sizes(args.checkpoint)
+
+    def fresh():
+        return DXVAE(size_H=size_h, size_Z=size_z, seed=0,
+                     checkpoint=args.checkpoint, compute_dtype="bfloat16_mixed")
+
+    def measure(model, arm):
+        model_eval = model  # decode/encode are eval-side already
+        rec = {}
+        for split, G in (("train", train.batch), ("held_out", held)):
+            R = model_eval.encode_decode(G)
+            rec[f"{split}_topo_exact"] = round(float(
+                (G.adj == R.adj).all(axis=(1, 2)).mean()), 4)
+            rec[f"{split}_edge_acc"] = round(float((G.adj == R.adj).mean()), 4)
+        table = ALGO_ADJ
+        model._key = jax.random.PRNGKey(1234)
+        Gs = model.generate(1024)
+        rec["valid_std_prior"] = round(float(
+            (Gs.adj[:, None] == table[None].astype(Gs.adj.dtype))
+            .all(axis=(2, 3)).any(axis=1).mean()), 4)
+        model._key = jax.random.PRNGKey(5678)
+        model.fit_prior(train.batch)
+        Gf = model.generate(1024, prior="fitted")
+        rec["valid_fitted_prior"] = round(float(
+            (Gf.adj[:, None] == table[None].astype(Gf.adj.dtype))
+            .all(axis=(2, 3)).any(axis=1).mean()), 4)
+        print(json.dumps({"arm": arm, **rec}), flush=True)
+
+    # synthetic corpus from the SHIPPED model (the same for every arm)
+    gen_model = fresh()
+    gen_model._key = jax.random.PRNGKey(7)
+    gen_model.fit_prior(train.batch)
+    synth = gen_model.generate(args.n_synth, prior="fitted",
+                               project_topology=True)
+    print(f"# synthetic corpus: {args.n_synth} projected fitted-prior samples",
+          file=sys.stderr)
+
+    measure(fresh(), "base")
+
+    import contextlib
+
+    def finetune(model, G, epochs):
+        # silence the per-batch reference-contract stdout lines
+        with open(os.devnull, "w") as sink, contextlib.redirect_stdout(sink):
+            model.train(G, epochs=epochs, size_batch=args.size_batch,
+                        lr=args.lr, w_kld=args.w_kld, shuffle_seed=11)
+
+    real_ft = fresh()
+    finetune(real_ft, train.batch, args.epochs)
+    measure(real_ft, "real")
+
+    mix = GraphBatch.concat([train.batch, synth])
+    # equal added compute: same number of patch presentations as the control
+    mix_epochs = max(1, round(args.epochs * len(train.batch.X) / len(mix.X)))
+    distill = fresh()
+    finetune(distill, mix, mix_epochs)
+    measure(distill, "distill")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
