@@ -77,6 +77,22 @@ def main():
     if held is not None and len(held):
         report["elbo"]["held_out"] = _elbo(held)
 
+    # latent retrieval: does posterior-mean space organize by algorithm?
+    # precision@5 = fraction of each patch's 5 nearest neighbours (self
+    # excluded) sharing its algorithm, vs the label-frequency chance rate —
+    # the quality metric behind the CLI `search` workflow
+    mu_all, _ = model.encode(train.batch)
+    mu_all = np.asarray(mu_all, np.float64)
+    algs = np.asarray(train.batch.params[:, 0, 18])
+    d2 = ((mu_all[:, None] - mu_all[None]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    nn5 = np.argsort(d2, axis=1, kind="stable")[:, :5]
+    freq = np.bincount(algs, minlength=32).astype(np.float64) / len(algs)
+    report["latent_retrieval"] = {
+        "alg_precision_at_5": round(float((algs[nn5] == algs[:, None]).mean()), 4),
+        "chance_rate": round(float((freq**2).sum()), 4),
+    }
+
     # same prior samples with and without topology projection, so the
     # projected row isolates the projection's effect (not sampling noise)
     import jax

@@ -34,14 +34,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/dx_1024_best.npz")
     ap.add_argument("--n-synth", type=int, default=2048)
+    ap.add_argument("--mode", default="projected",
+                    choices=["projected", "self_consistent"],
+                    help="projected: snap sampled topologies onto valid "
+                         "algorithms (params/topology may disagree); "
+                         "self_consistent: rejection-sample free decodes "
+                         "that are ALREADY valid (no overwrite)")
     ap.add_argument("--epochs", type=int, default=200)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--size-batch", type=int, default=128)
     ap.add_argument("--w-kld", type=float, default=0.01)
+    ap.add_argument("--arms", default="base,real,distill",
+                    help="comma-separated subset to run (tunnel stalls can "
+                         "reap long runs; arms are independently seeded, so "
+                         "partial runs compose)")
     ap.add_argument("--raw-dir", default=None,
                     help="bank directory (default: $DXVAE_RAW_DIR or the "
                          "reference mount)")
     args = ap.parse_args()
+    arms = set(args.arms.split(","))
 
     import jax
 
@@ -94,12 +105,26 @@ def main():
     gen_model = fresh()
     gen_model._key = jax.random.PRNGKey(7)
     gen_model.fit_prior(train.batch)
-    synth = gen_model.generate(args.n_synth, prior="fitted",
-                               project_topology=True)
-    print(f"# synthetic corpus: {args.n_synth} projected fitted-prior samples",
-          file=sys.stderr)
+    if args.mode == "projected":
+        synth = gen_model.generate(args.n_synth, prior="fitted",
+                                   project_topology=True)
+    else:
+        # rejection-sample free decodes whose topology is already a valid
+        # algorithm — params and topology are the model's own consistent output
+        keep = []
+        kept = 0
+        while kept < args.n_synth:
+            G = gen_model.generate(args.n_synth, prior="fitted")
+            valid = (G.adj[:, None] == ALGO_ADJ[None].astype(G.adj.dtype)) \
+                .all(axis=(2, 3)).any(axis=1)
+            keep.append(G[np.flatnonzero(valid)])
+            kept += int(valid.sum())
+        synth = GraphBatch.concat(keep)[: args.n_synth]
+    print(f"# synthetic corpus: {len(synth.X)} {args.mode} fitted-prior "
+          f"samples", file=sys.stderr)
 
-    measure(fresh(), "base")
+    if "base" in arms:
+        measure(fresh(), "base")
 
     import contextlib
 
@@ -109,16 +134,18 @@ def main():
             model.train(G, epochs=epochs, size_batch=args.size_batch,
                         lr=args.lr, w_kld=args.w_kld, shuffle_seed=11)
 
-    real_ft = fresh()
-    finetune(real_ft, train.batch, args.epochs)
-    measure(real_ft, "real")
+    if "real" in arms:
+        real_ft = fresh()
+        finetune(real_ft, train.batch, args.epochs)
+        measure(real_ft, "real")
 
-    mix = GraphBatch.concat([train.batch, synth])
-    # equal added compute: same number of patch presentations as the control
-    mix_epochs = max(1, round(args.epochs * len(train.batch.X) / len(mix.X)))
-    distill = fresh()
-    finetune(distill, mix, mix_epochs)
-    measure(distill, "distill")
+    if "distill" in arms:
+        mix = GraphBatch.concat([train.batch, synth])
+        # equal added compute: same patch presentations as the control
+        mix_epochs = max(1, round(args.epochs * len(train.batch.X) / len(mix.X)))
+        distill = fresh()
+        finetune(distill, mix, mix_epochs)
+        measure(distill, "distill")
     return 0
 
 
