@@ -24,16 +24,93 @@ mfu_vs_session is the chip/session, not the code — BENCH_r01 742k vs BENCH_r02
 the model's matmul mix includes 4H-wide shapes that beat the single 3H
 calibration shape, so this is a session-normalized throughput ratio, not a
 true utilization fraction (docs/PERF.md has the true MFU accounting).
+
+Stall protection: the tunnel can hang a device RPC indefinitely (observed on
+this image), so by default the measurement runs in a supervised child process
+under ``--deadline-s`` (45 min).  On expiry the parent kills the child and
+emits the best completed result ("partial": true); with no completed
+measurement it retries once, then exits 3 with no JSON.  ``--deadline-s 0``
+runs unsupervised.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
+import tempfile
 import time
 
 import numpy as np
+
+
+def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
+    """Run the measurement in a child process with a hard deadline.
+
+    The execution tunnel can stall a device RPC indefinitely (observed on
+    this image: a hung call never returns and SIGALRM cannot interrupt a
+    blocked PJRT readback), which would leave the driver with NO benchmark
+    artifact at all.  The child streams each completed two-K estimate (and
+    the pre-calibration record) as JSON lines to a progress file; on
+    deadline the parent kills the child and emits the best measurement
+    completed so far, marked ``"partial": true``.  A clean child exit is a
+    pure passthrough — the emitted JSON is identical to an unsupervised run.
+    """
+    for attempt in range(retries + 1):
+        with tempfile.NamedTemporaryFile("r", suffix=".jsonl", delete=False) as pf:
+            progress_path = pf.name
+        child = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), *argv,
+             "--progress-file", progress_path],
+        )
+        try:
+            child.wait(timeout=deadline_s)
+            return child.returncode
+        except subprocess.TimeoutExpired:
+            child.kill()
+            child.wait()
+        finally:
+            try:
+                lines = [json.loads(l) for l in open(progress_path) if l.strip()]
+            except (OSError, ValueError):
+                lines = []
+            os.unlink(progress_path)
+        record = next((l for l in reversed(lines) if l.get("type") == "record"), None)
+        estimates = sorted(l["per_iter_s"] for l in lines if l.get("type") == "estimate")
+        if record is not None:
+            record.pop("type")
+            record["partial"] = True  # deadline hit during/after calibration
+            print(json.dumps(record))
+            print(f"# WARNING: deadline {deadline_s:.0f}s hit after the "
+                  "measurement completed (calibration lost); emitting the "
+                  "measured record", file=sys.stderr)
+            return 0
+        if len(estimates) >= 2:
+            # enough completed two-K estimates for a median-of-what-finished
+            per_iter = estimates[len(estimates) // 2]
+            n = next((l["batch"] for l in lines if "batch" in l), None)
+            mode = next((l["mode"] for l in lines if "mode" in l), "roundtrip")
+            suffix = {"roundtrip": "encode_decode", "encode": "encode_only",
+                      "decode": "decode_only"}[mode]
+            print(json.dumps({
+                "metric": f"patches_per_sec_{suffix}_b{n}",
+                "value": round(n / per_iter, 1),
+                "unit": "patches/sec",
+                "vs_baseline": round(n / per_iter / 50_000.0, 4)
+                if (mode, n) == ("roundtrip", 1024) else None,
+                "partial": True,
+                "estimates_completed": len(estimates),
+            }))
+            print(f"# WARNING: deadline {deadline_s:.0f}s hit; emitting the "
+                  f"median of {len(estimates)} completed estimates",
+                  file=sys.stderr)
+            return 0
+        print(f"# WARNING: deadline {deadline_s:.0f}s hit with no completed "
+              f"measurement (tunnel stall?); attempt {attempt + 1}/{retries + 1}",
+              file=sys.stderr)
+    return 3
 
 
 def main() -> int:
@@ -59,9 +136,33 @@ def main() -> int:
     ap.add_argument("--raw-dir", default=None,
                     help="bank directory (default: $DXVAE_RAW_DIR or the "
                          "reference mount)")
+    ap.add_argument("--deadline-s", type=float, default=2700.0,
+                    help="hard wall-clock limit; on expiry the supervisor "
+                         "kills the measurement and emits the best completed "
+                         "result, marked partial (0 disables supervision)")
+    ap.add_argument("--retries", type=int, default=1,
+                    help="restarts after a deadline expiry that produced no "
+                         "measurement at all (transient tunnel stalls)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (dev/test; the env-pinned "
+                         "platform cannot be overridden by env vars)")
+    ap.add_argument("--progress-file", default=None, help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.deadline_s > 0 and args.progress_file is None:
+        argv = [a for a in sys.argv[1:]]
+        return _supervise(argv + ["--deadline-s", "0"], args.deadline_s,
+                          max(0, args.retries))
+
+    def progress(obj) -> None:
+        if args.progress_file:
+            with open(args.progress_file, "a") as f:
+                f.write(json.dumps(obj) + "\n")
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from dxvae_tpu.utils.profiling import enable_persistent_cache
@@ -142,10 +243,13 @@ def main() -> int:
         return min(ts)
 
     float(run(params, X, adj, 1))  # compile once
+    progress({"type": "compiled", "batch": n})
     estimates = []
     for _ in range(5):
         t_lo, t_hi = timed(args.k_lo), timed(args.k_hi)
         estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
+        progress({"type": "estimate", "batch": n,
+                  "per_iter_s": estimates[-1], "mode": args.mode})
     estimates.sort()
     per_iter = estimates[len(estimates) // 2]  # median of five two-K estimates
     if estimates[0] <= 0 or estimates[-1] > 2 * max(estimates[0], 1e-9):
@@ -175,6 +279,8 @@ def main() -> int:
         "unit": "patches/sec",
         "vs_baseline": vs_baseline,
     }
+    progress({"type": "record", **record})  # measurement survives a
+    # calibration-phase stall: the supervisor emits this on deadline
 
     if args.mode == "roundtrip" and not args.no_calibration:
         # same-session variance normalization: bare-matmul achievable TFLOP/s
