@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--raw-dir", default=None,
                     help="bank directory (default: $DXVAE_RAW_DIR or the "
                          "reference mount)")
+    ap.add_argument("--exec", dest="exec_path", default="unroll",
+                    choices=["unroll", "batched"],
+                    help="execution strategy (tested equal; batched compiles "
+                         "in seconds — use it for CPU reruns when the TPU "
+                         "tunnel is down)")
     args = ap.parse_args()
     arms = set(args.arms.split(","))
 
@@ -77,7 +82,8 @@ def main():
 
     def fresh():
         return DXVAE(size_H=size_h, size_Z=size_z, seed=0,
-                     checkpoint=args.checkpoint, compute_dtype="bfloat16_mixed")
+                     checkpoint=args.checkpoint, compute_dtype="bfloat16_mixed",
+                     unroll=args.exec_path == "unroll")
 
     def measure(model, arm):
         model_eval = model  # decode/encode are eval-side already
