@@ -26,6 +26,7 @@ from dxvae_tpu.data.dataset import DXDataset  # noqa: F401  (re-export)
 from dxvae_tpu.data.sysex import params_to_syx_file
 from dxvae_tpu.graph import GraphBatch
 from dxvae_tpu.data.algorithms import ALGO_ADJ
+from dxvae_tpu.data.algorithms import match_algorithm as _match_algorithm
 from dxvae_tpu.data.algorithms import project_topology as _project_topology
 from dxvae_tpu.models import (
     DXVAEConfig,
@@ -265,7 +266,8 @@ class DXVAE:
         return self.decode(z, project_topology=project_topology)
 
     def generate(self, n: int, project_topology: bool = False, alg=None,
-                 prior: str = "standard", temperature: float = 1.0) -> GraphBatch:
+                 prior: str = "standard", temperature: float = 1.0,
+                 valid_only: bool = False, max_rounds: int = 64) -> GraphBatch:
         """Sample z from the prior and decode (model.py:264-268); see
         :meth:`decode` for ``project_topology`` and algorithm-conditional
         ``alg``.
@@ -279,7 +281,49 @@ class DXVAE:
         ``temperature`` scales the sampled z (standard prior: ``z = T*eps``;
         fitted prior: T scales the offset from the drawn component's mean, so
         mixture coverage survives low T).  Measured tradeoff on the flagship:
-        docs/PERF.md "Sampling temperature"."""
+        docs/PERF.md "Sampling temperature".
+
+        ``valid_only=True`` rejection-samples: decode rounds of a fixed
+        oversized batch (one compiled program) and keep only samples whose
+        topology already IS a valid DX7 algorithm — unlike
+        ``project_topology`` nothing is overwritten, so operators and routing
+        are the model's own consistent output (the self-consistency study in
+        docs/PERF.md measures projected samples as partially off-manifold).
+        The alg param byte is synced to the matched routing (it is what a DX7
+        reads; same metadata sync ``alg=`` performs).  Raises RuntimeError
+        after ``max_rounds`` rounds — with an untrained model or a very low
+        validity rate, use ``prior='fitted'``/lower ``temperature`` (measured
+        ~25-46% valid on trained flagships) or fall back to projection."""
+        if valid_only:
+            if project_topology or alg is not None:
+                raise ValueError(
+                    "valid_only rejection-samples already-valid decodes; it "
+                    "is mutually exclusive with project_topology/alg (which "
+                    "force validity by construction)")
+            m = max(int(n), 64)  # fixed round size -> one compiled decode
+            kept: list[GraphBatch] = []
+            n_kept = n_tried = 0
+            for _ in range(max_rounds):
+                G = self.generate(m, prior=prior, temperature=temperature)
+                match = _match_algorithm(G.adj)
+                sel = np.flatnonzero(match >= 0)
+                n_tried += m
+                if len(sel):
+                    sub = G[sel]
+                    P = sub.params.copy()
+                    P[:, 0, 18] = match[sel].astype(P.dtype)
+                    # NOT sub._replace(): GraphBatch.__len__ is the batch
+                    # size, which trips namedtuple._make's arity check
+                    kept.append(GraphBatch(X=sub.X, params=P, adj=sub.adj))
+                    n_kept += len(sel)
+                if n_kept >= n:
+                    return GraphBatch.concat(kept)[:n]
+            raise RuntimeError(
+                f"valid_only: only {n_kept}/{n} valid samples after "
+                f"{n_tried} decodes ({max_rounds} rounds); the model's "
+                f"validity rate is too low — try prior='fitted' with a "
+                f"temperature < 1 (docs/PERF.md), raise max_rounds, or use "
+                f"project_topology=True")
         if prior == "fitted":
             if self.prior is None:
                 raise ValueError(

@@ -73,7 +73,7 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
                   alg=None, fit_from=None, n_components=32, prior_path=None,
-                  save_prior_path=None, temperature=1.0):
+                  save_prior_path=None, temperature=1.0, valid_only=False):
     model = _model_for(chk, seed)
     if prior_path is not None:
         model.load_prior(prior_path)
@@ -85,7 +85,7 @@ def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
     fitted = prior_path is not None or fit_from is not None
     G_gen = model.generate(n, project_topology=project_topology, alg=alg,
                            prior="fitted" if fitted else "standard",
-                           temperature=temperature)
+                           temperature=temperature, valid_only=valid_only)
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -241,6 +241,11 @@ def main(argv=None) -> int:
                          "offset from the component mean, keeping mixture "
                          "coverage); T<1 trades diversity for on-manifold "
                          "samples — measured tradeoff in docs/PERF.md")
+    sp.add_argument("--valid-only", action="store_true",
+                    help="rejection-sample until every patch's topology IS a "
+                         "valid DX7 algorithm — nothing overwritten (vs "
+                         "--project-topology, which snaps it); best combined "
+                         "with --prior/--fitted-prior [--temperature 0.5]")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("interpolate",
                         help="decode the latent segment between two dataset "
@@ -360,7 +365,8 @@ def main(argv=None) -> int:
                               n_components=args.fitted_prior or 32,
                               prior_path=args.prior,
                               save_prior_path=args.save_prior,
-                              temperature=args.temperature)
+                              temperature=args.temperature,
+                              valid_only=args.valid_only)
         if args.out:
             graph_to_syx(
                 G_gen, args.out,

@@ -72,6 +72,20 @@ ALGO_ADJ: np.ndarray = _build_adj()
 ALGO_ADJ.setflags(write=False)
 
 
+def match_algorithm(adj: np.ndarray) -> np.ndarray:
+    """Exact-match each adjacency against the 32 hardware routings.
+
+    Returns ``(B,) int64``: the algorithm index whose topology equals
+    ``adj[b]`` exactly, or ``-1`` if ``adj[b]`` is not a valid DX7 routing.
+    (Algorithm topologies are distinct, so the match is unique when it
+    exists.)  The mask form is ``match_algorithm(adj) >= 0``.
+    """
+    adj = np.asarray(adj)
+    table = ALGO_ADJ.astype(adj.dtype)  # (32, 7, 7)
+    eq = (adj[:, None] == table[None]).all(axis=(2, 3))  # (B, 32)
+    return np.where(eq.any(axis=1), eq.argmax(axis=1), -1).astype(np.int64)
+
+
 def project_topology(adj: np.ndarray, alg_scores: np.ndarray | None = None):
     """Snap each adjacency to the nearest valid DX7 algorithm topology.
 

@@ -61,3 +61,10 @@ class GraphBatch(NamedTuple):
             np.concatenate([b.params for b in batches]),
             np.concatenate([b.adj for b in batches]),
         )
+
+
+# namedtuple's default _make validates ``len(result) == 3``, but
+# ``GraphBatch.__len__`` is the BATCH size — without this override
+# ``_replace`` raises "Expected 3 arguments, got <B>".  typing.NamedTuple
+# forbids defining _make in the class body, so it is attached here.
+GraphBatch._make = classmethod(lambda cls, iterable: tuple.__new__(cls, iterable))

@@ -116,16 +116,11 @@ def main():
                                    project_topology=True)
     else:
         # rejection-sample free decodes whose topology is already a valid
-        # algorithm — params and topology are the model's own consistent output
-        keep = []
-        kept = 0
-        while kept < args.n_synth:
-            G = gen_model.generate(args.n_synth, prior="fitted")
-            valid = (G.adj[:, None] == ALGO_ADJ[None].astype(G.adj.dtype)) \
-                .all(axis=(2, 3)).any(axis=1)
-            keep.append(G[np.flatnonzero(valid)])
-            kept += int(valid.sum())
-        synth = GraphBatch.concat(keep)[: args.n_synth]
+        # algorithm — params and topology are the model's own consistent
+        # output (api.generate(valid_only=True); the alg byte is synced to
+        # the matched routing, so the alg head sees no label noise)
+        synth = gen_model.generate(args.n_synth, prior="fitted",
+                                   valid_only=True, max_rounds=256)
     print(f"# synthetic corpus: {len(synth.X)} {args.mode} fitted-prior "
           f"samples", file=sys.stderr)
 

@@ -58,6 +58,12 @@ def test_graphbatch_indexing_matches_reference_idiom(G8):
     # field access stays by name; iteration still unpacks the three arrays
     X, P, A = G8
     np.testing.assert_array_equal(X, G8.X)
+    # _replace works despite the __len__ override (regression: namedtuple's
+    # default _make validated len(result)==3 against the BATCH size)
+    r = G8._replace(params=G8.params + 1)
+    assert len(r) == len(G8)
+    np.testing.assert_array_equal(r.params, G8.params + 1)
+    assert r.X is G8.X
 
 
 def test_generate_and_serialize(model, tmp_path):
@@ -354,6 +360,53 @@ def test_generate_project_topology(model):
         )
         np.testing.assert_array_equal(p2[:, 0, 18], G.params[:, 0, 18])
         np.testing.assert_array_equal(adj2.astype(G.adj.dtype), G.adj)
+
+
+def test_match_algorithm():
+    from dxvae_tpu.data.algorithms import ALGO_ADJ, match_algorithm
+
+    idx = match_algorithm(ALGO_ADJ.astype(np.float32))
+    np.testing.assert_array_equal(idx, np.arange(32))
+    bad = np.stack([np.ones((7, 7), np.float32),   # no algorithm is complete
+                    np.zeros((7, 7), np.float32)])  # or empty
+    np.testing.assert_array_equal(match_algorithm(bad), [-1, -1])
+
+
+def test_generate_valid_only(model, monkeypatch):
+    """Rejection-sampled generation: only already-valid topologies are kept,
+    in decode order, with the alg param byte synced to the matched routing
+    (nothing else overwritten).  The decode is stubbed so the filtering/sync
+    logic is tested without a trained model (the fixture model's validity
+    rate is ~0); trained-model rates are measured in docs/PERF.md."""
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    def fake_decode(z, project_topology=False, alg=None):
+        B = len(np.asarray(z))
+        adj = np.ones((B, 7, 7), np.float32)  # invalid (no complete routing)
+        adj[0::2] = ALGO_ADJ[np.arange(B // 2 + 1) % 32][: len(adj[0::2])]
+        P = np.zeros((B, 7, 21), np.int32)
+        P[:, 0, 18] = 7  # deliberately wrong alg byte: sync must fix it
+        X = np.full((B, 7, 27), 0.5, np.float32)
+        return GraphBatch(X=X, params=P, adj=adj)
+
+    monkeypatch.setattr(model, "decode", fake_decode)
+    G = model.generate(5, valid_only=True)
+    assert len(G) == 5
+    want_algs = np.arange(5) % 32  # rows 0,2,4,6,8 of the stub, in order
+    np.testing.assert_array_equal(G.params[:, 0, 18], want_algs)
+    np.testing.assert_array_equal(G.adj, ALGO_ADJ[want_algs].astype(G.adj.dtype))
+    assert (G.X == 0.5).all()  # nothing but the alg byte was touched
+
+
+def test_generate_valid_only_errors(model):
+    with pytest.raises(ValueError, match="valid_only"):
+        model.generate(2, valid_only=True, project_topology=True)
+    with pytest.raises(ValueError, match="valid_only"):
+        model.generate(2, valid_only=True, alg=3)
+    # untrained model: validity rate ~2^-27 per sample — one 64-decode round
+    # must exhaust and raise with the actionable message
+    with pytest.raises(RuntimeError, match="fitted"):
+        model.generate(2, valid_only=True, max_rounds=1)
 
 
 def test_generate_alg_conditional(model):
