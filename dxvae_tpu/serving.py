@@ -173,11 +173,41 @@ class ServedDXVAE:
         return GraphBatch(X=Xo, params=P.astype(np.int32), adj=adjo)
 
     def generate(self, n: int, seed: int = 0, prior: str | None = None,
-                 temperature: float = 1.0) -> GraphBatch:
+                 temperature: float = 1.0, valid_only: bool = False,
+                 max_rounds: int = 64) -> GraphBatch:
         """Prior-sample ``n`` patches.  z sampling is plain NumPy on the host
         (only the decode runs the exported artifact): ``prior='fitted'`` uses
         the bundled GMM (defaults to it when the bundle has one),
-        ``'standard'`` is N(0, I); ``temperature`` as in DXVAE.generate."""
+        ``'standard'`` is N(0, I); ``temperature`` / ``valid_only`` as in
+        DXVAE.generate (valid_only rounds decode at the bucket size that
+        fits ``max(n, 64)``, so rejection costs no extra compilations)."""
+        if valid_only:
+            from dxvae_tpu.data.algorithms import match_algorithm
+
+            # oversample up to 64/round, capped at the largest exported
+            # decode bucket (requests beyond it raise in decode() anyway)
+            caps = self.manifest["functions"].get("decode", [64])
+            m = min(max(int(n), 64), max(caps[-1], int(n)))
+            kept: list[GraphBatch] = []
+            n_kept = n_tried = 0
+            for r in range(max_rounds):
+                G = self.generate(m, seed=seed + 7919 * r, prior=prior,
+                                  temperature=temperature)
+                match = match_algorithm(G.adj)
+                sel = np.flatnonzero(match >= 0)
+                n_tried += m
+                if len(sel):
+                    sub = G[sel]
+                    P = sub.params.copy()
+                    P[:, 0, 18] = match[sel].astype(P.dtype)
+                    kept.append(GraphBatch(X=sub.X, params=P, adj=sub.adj))
+                    n_kept += len(sel)
+                if n_kept >= n:
+                    return GraphBatch.concat(kept)[:n]
+            raise RuntimeError(
+                f"valid_only: only {n_kept}/{n} valid samples after "
+                f"{n_tried} decodes ({max_rounds} rounds); try the bundled "
+                f"fitted prior with temperature < 1, or raise max_rounds")
         if prior is None:
             prior = "fitted" if self.manifest.get("has_prior") else "standard"
         rng = np.random.default_rng(seed)

@@ -116,6 +116,37 @@ def test_served_generate_with_bundled_prior(bundle, tmp_path, dataset):
     assert served_bare.generate(2).params.shape == (2, 7, 21)
 
 
+def test_served_generate_valid_only(bundle, monkeypatch):
+    """Served valid_only mirrors DXVAE.generate: rounds are capped at the
+    largest exported decode bucket, invalid topologies are rejected, alg
+    bytes are synced.  Decode is stubbed for the success path (the tiny
+    fixture model is untrained, validity ~0); the exhaustion path runs the
+    real artifact."""
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+    from dxvae_tpu.graph import GraphBatch
+
+    _, path, _ = bundle
+    served = ServedDXVAE.load(path)
+    with pytest.raises(RuntimeError, match="valid"):
+        served.generate(2, valid_only=True, max_rounds=2)
+
+    calls = []
+
+    def fake_decode(z):
+        B = len(np.asarray(z))
+        calls.append(B)
+        adj = np.ones((B, 7, 7), np.float32)
+        adj[0] = ALGO_ADJ[17]
+        P = np.zeros((B, 7, 21), np.int32)
+        return GraphBatch(X=np.zeros((B, 7, 27), np.float32), params=P, adj=adj)
+
+    monkeypatch.setattr(served, "decode", fake_decode)
+    G = served.generate(2, valid_only=True)  # 1 valid per round -> 2 rounds
+    assert len(G) == 2 and (G.params[:, 0, 18] == 17).all()
+    np.testing.assert_array_equal(G.adj, ALGO_ADJ[[17, 17]].astype(G.adj.dtype))
+    assert calls == [8, 8]  # rounds capped at the largest exported bucket
+
+
 def test_bundle_loads_without_model_code(bundle, tmp_path):
     """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
     import) can deserialize and run a bundle's decode artifact."""
