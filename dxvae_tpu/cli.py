@@ -293,6 +293,38 @@ def main(argv=None) -> int:
                     help="comma-separated lowering targets (default: cpu,tpu)")
     sp.add_argument("--functions", default="encode,decode,roundtrip")
     sp = sub.add_parser(
+        "serve",
+        help="run inference against an exported bundle — no checkpoint and "
+             "no model build, the artifact IS the model "
+             "(dxvae_tpu.serving.ServedDXVAE)")
+    sp.add_argument("--bundle", required=True,
+                    help="bundle .npz written by export-serving")
+    sp.add_argument("--op", default="generate",
+                    choices=["generate", "roundtrip"],
+                    help="generate = prior-sample patches; roundtrip = "
+                         "encode->decode a dataset patch through the artifact")
+    sp.add_argument("--n", type=int, default=1, help="patches to generate")
+    sp.add_argument("--seed", type=int, default=None)
+    sp.add_argument("--prior", default=None, choices=["fitted", "standard"],
+                    help="z distribution (default: the bundled fitted prior "
+                         "when the bundle has one, else standard N(0,I)) — "
+                         "bundles carry their prior, so unlike 'generate' "
+                         "this is a mode name, not a path")
+    sp.add_argument("--temperature", type=float, default=1.0, metavar="T")
+    sp.add_argument("--valid-only", action="store_true",
+                    help="rejection-sample valid DX7 topologies (rounds run "
+                         "at the bundle's largest decode bucket)")
+    sp.add_argument("--out", default=None,
+                    help="write a 32-voice .syx bank (padded by repeating "
+                         "the last patch when --n < 32)")
+    sp.add_argument("--computed-checksum", action="store_true")
+    sp.add_argument("--quiet", action="store_true")
+    sp.add_argument("--raw-dir", default=None,
+                    help=f"dataset for --op roundtrip (default: {dflt.raw_dir})")
+    sp.add_argument("--synprez-only", action="store_true")
+    sp.add_argument("--index", type=int, default=12,
+                    help="dataset patch for --op roundtrip")
+    sp = sub.add_parser(
         "convert-checkpoint",
         help="convert between our .npz and the reference's torch .chk "
              "state_dict (direction inferred from the source extension; "
@@ -402,6 +434,40 @@ def main(argv=None) -> int:
             platforms=tuple(args.platforms.split(",")))
         print(f"wrote {args.out}: functions {sorted(man['functions'])} at "
               f"buckets {args.batch_sizes} for {man['platforms']}")
+    elif args.cmd == "serve":
+        from dxvae_tpu.serving import ServedDXVAE
+
+        srv = ServedDXVAE.load(args.bundle)
+        if args.op == "generate":
+            G_gen = srv.generate(args.n, seed=cfg.seed, prior=args.prior,
+                                 temperature=args.temperature,
+                                 valid_only=args.valid_only)
+            if not args.quiet:
+                print("[ Generate (served) ]")
+                print_data(G_gen)
+            if args.out:
+                # bundles cap n at their decode buckets, so pad short runs
+                # to the 32-voice bank by repeating the last patch (the
+                # same convention as `interpolate --out`)
+                Gw = G_gen
+                if len(Gw) < 32:
+                    pad = 32 - len(Gw)
+                    Gw = GraphBatch(*(np.concatenate(
+                        [np.asarray(f), np.repeat(np.asarray(f)[-1:], pad,
+                                                  axis=0)]) for f in Gw))
+                graph_to_syx(
+                    Gw, args.out,
+                    checksum="computed" if args.computed_checksum else "parity",
+                )
+                print(f"wrote {args.out}")
+        else:
+            G_en = _load_graphs(args).slice(args.index, args.index + 1)
+            G_de = srv.encode_decode(G_en)
+            if not args.quiet:
+                print("[ Encode ]")
+                print_data(G_en)
+                print("[ Decode (served) ]")
+                print_data(G_de)
     elif args.cmd == "forward-test":
         G = _load_graphs(args)
         forward_test(G.slice(args.index, args.index + 1), args.checkpoint)

@@ -39,6 +39,27 @@ def default_raw_dir() -> str:
     return os.environ.get("DXVAE_RAW_DIR", "/root/reference/DX_data")
 
 
+_NO_CACHE_ROOT = Path("/root/reference")  # upstream mount: treat as read-only
+
+
+def _default_save_dir(raw_dir: Path) -> Path:
+    """Default cache location for ``save_dir=None``: ``$DXVAE_CACHE_DIR`` when
+    set, else ``raw_dir`` itself (the reference's convention, dxdata.py:139) —
+    EXCEPT when ``raw_dir`` lives under the upstream reference mount, which
+    must stay byte-identical to upstream: those caches go to
+    ``~/.cache/dxvae_tpu`` instead (the cache key hashes the absolute file
+    paths, so banks from different raw dirs never collide there)."""
+    env = os.environ.get("DXVAE_CACHE_DIR")
+    if env:
+        return Path(env)
+    try:
+        if raw_dir.resolve().is_relative_to(_NO_CACHE_ROOT):
+            return Path.home() / ".cache" / "dxvae_tpu"
+    except (OSError, ValueError):
+        pass
+    return raw_dir
+
+
 def _cache_key(files: Sequence[Path]) -> str:
     h = hashlib.sha256()
     h.update(f"v{_CODEC_VERSION}".encode())
@@ -56,7 +77,8 @@ class DXDataset:
     """Decode every ``.syx`` bank under ``raw_dir`` into dense graph tensors.
 
     Parameters mirror the reference ctor (dxdata.py:139): ``raw_dir`` holds
-    the banks, ``save_dir`` (default: ``raw_dir``) holds the cache.
+    the banks, ``save_dir`` holds the cache (default: ``raw_dir``, except
+    never inside the read-only reference mount — see ``_default_save_dir``).
     """
 
     def __init__(
@@ -67,7 +89,8 @@ class DXDataset:
         include: str | None = None,
     ):
         self.raw_dir = Path(raw_dir)
-        self.save_dir = Path(save_dir) if save_dir is not None else self.raw_dir
+        self.save_dir = (Path(save_dir) if save_dir is not None
+                         else _default_save_dir(self.raw_dir))
         files = sorted(self.raw_dir.rglob("*.syx"))
         if include == "synprez":
             files = [f for f in files if "SynprezFM" in f.name]

@@ -147,6 +147,28 @@ def test_served_generate_valid_only(bundle, monkeypatch):
     assert calls == [8, 8]  # rounds capped at the largest exported bucket
 
 
+def test_serve_cli_generate_and_roundtrip(bundle, dataset, tmp_path, capsys):
+    """The full deployment loop from the CLI: `serve --op generate` samples
+    patches from the artifact and writes a parseable 32-voice bank;
+    `serve --op roundtrip` pushes a dataset patch through the exported
+    encode->decode program (no checkpoint flag anywhere)."""
+    from dxvae_tpu.cli import main
+    from dxvae_tpu.data.sysex import read_syx, unpack_voices
+
+    _, path, _ = bundle
+    out = tmp_path / "served_bank.syx"
+    assert main(["serve", "--bundle", str(path), "--n", "3", "--seed", "5",
+                 "--out", str(out), "--quiet"]) == 0
+    P, X, adj = unpack_voices(read_syx(out))
+    assert P.shape == (32, 7, 21)  # bank padded to 32 voices
+    # prior mode name is honored (tiny bundle has no fitted prior)
+    with pytest.raises(ValueError, match="no fitted prior"):
+        main(["serve", "--bundle", str(path), "--prior", "fitted", "--quiet"])
+    assert main(["serve", "--bundle", str(path), "--op", "roundtrip",
+                 "--raw-dir", str(dataset.raw_dir), "--index", "1"]) == 0
+    assert "[ Decode (served) ]" in capsys.readouterr().out
+
+
 def test_bundle_loads_without_model_code(bundle, tmp_path):
     """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
     import) can deserialize and run a bundle's decode artifact."""

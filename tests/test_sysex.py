@@ -192,6 +192,21 @@ def test_dataset_cache_roundtrip(tmp_path):
     assert len(sub) == 10
 
 
+def test_dataset_cache_never_writes_into_reference_mount(tmp_path, monkeypatch):
+    """save_dir=None must not drop cache files into the read-only upstream
+    mount: caches redirect to ~/.cache/dxvae_tpu (or $DXVAE_CACHE_DIR), and
+    a plain user raw_dir still caches in place (reference convention)."""
+    from pathlib import Path
+
+    from dxvae_tpu.data.dataset import _default_save_dir, _NO_CACHE_ROOT
+
+    assert _default_save_dir(_NO_CACHE_ROOT / "DX_data") == (
+        Path.home() / ".cache" / "dxvae_tpu")
+    assert _default_save_dir(tmp_path) == tmp_path
+    monkeypatch.setenv("DXVAE_CACHE_DIR", str(tmp_path / "env_cache"))
+    assert _default_save_dir(_NO_CACHE_ROOT / "DX_data") == tmp_path / "env_cache"
+
+
 def test_algo_table_matches_reference_spec():
     """Cross-check the transcribed routing table against the reference's
     DX_ALGO literal (dxdata.py:140-171), parsed as *data* via ast."""
