@@ -319,6 +319,11 @@ def main(argv=None) -> int:
                          "the last patch when --n < 32)")
     sp.add_argument("--computed-checksum", action="store_true")
     sp.add_argument("--quiet", action="store_true")
+    sp.add_argument("--http", default=None, metavar="[HOST]:PORT",
+                    help="serve the bundle over HTTP instead of a one-shot "
+                         "op: JSON endpoints /healthz /v1/{generate,encode,"
+                         "decode,roundtrip} (dxvae_tpu.serving_http; host "
+                         "defaults to 127.0.0.1)")
     sp.add_argument("--raw-dir", default=None,
                     help=f"dataset for --op roundtrip (default: {dflt.raw_dir})")
     sp.add_argument("--synprez-only", action="store_true")
@@ -435,7 +440,13 @@ def main(argv=None) -> int:
         print(f"wrote {args.out}: functions {sorted(man['functions'])} at "
               f"buckets {args.batch_sizes} for {man['platforms']}")
     elif args.cmd == "serve":
-        from dxvae_tpu.serving import ServedDXVAE
+        if args.http is not None:
+            from dxvae_tpu.serving_http import serve_forever
+
+            host, _, port = args.http.rpartition(":")
+            serve_forever(args.bundle, host or "127.0.0.1", int(port))
+            return 0
+        from dxvae_tpu.serving import ServedDXVAE, bank_bytes
 
         srv = ServedDXVAE.load(args.bundle)
         if args.op == "generate":
@@ -446,19 +457,14 @@ def main(argv=None) -> int:
                 print("[ Generate (served) ]")
                 print_data(G_gen)
             if args.out:
-                # bundles cap n at their decode buckets, so pad short runs
-                # to the 32-voice bank by repeating the last patch (the
-                # same convention as `interpolate --out`)
-                Gw = G_gen
-                if len(Gw) < 32:
-                    pad = 32 - len(Gw)
-                    Gw = GraphBatch(*(np.concatenate(
-                        [np.asarray(f), np.repeat(np.asarray(f)[-1:], pad,
-                                                  axis=0)]) for f in Gw))
-                graph_to_syx(
-                    Gw, args.out,
+                # bundles cap n at their decode buckets, so bank_bytes pads
+                # short runs to the 32-voice bank by repeating the last patch
+                from pathlib import Path as _Path
+
+                _Path(args.out).write_bytes(bank_bytes(
+                    G_gen,
                     checksum="computed" if args.computed_checksum else "parity",
-                )
+                ))
                 print(f"wrote {args.out}")
         else:
             G_en = _load_graphs(args).slice(args.index, args.index + 1)

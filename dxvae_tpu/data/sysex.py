@@ -283,19 +283,13 @@ def pack_voices(params: np.ndarray, names: np.ndarray | None = None) -> np.ndarr
     return out.astype(np.uint8)
 
 
-def params_to_syx_file(
+def _bank_message(
     params: np.ndarray,
-    path: str | os.PathLike,
-    checksum: str = "parity",
-    names: np.ndarray | None = None,
+    checksum: str,
+    names: np.ndarray | None,
 ) -> np.ndarray:
-    """Serialize exactly 32 patches to a .syx bank file.
-
-    ``checksum='parity'`` writes the reference's hardcoded 0x58 byte
-    (dxdata.py:344) for byte-exact output parity; ``checksum='computed'``
-    writes the real DX7 two's-complement checksum.  Returns the full message
-    data (without F0/F7 framing).
-    """
+    """Unframed bank message ``HEADER | payload | checksum`` for exactly 32
+    patches (shared by the file and in-memory serializers)."""
     p = np.asarray(params)
     if p.shape[0] != VOICES_PER_BANK:
         raise ValueError(
@@ -309,6 +303,37 @@ def params_to_syx_file(
         ck = dx7_checksum(payload)
     else:
         raise ValueError(f"unknown checksum mode {checksum!r}")
-    data = np.concatenate([HEADER, payload, [ck]]).astype(np.uint8)
+    return np.concatenate([HEADER, payload, [ck]]).astype(np.uint8)
+
+
+def params_to_syx_file(
+    params: np.ndarray,
+    path: str | os.PathLike,
+    checksum: str = "parity",
+    names: np.ndarray | None = None,
+) -> np.ndarray:
+    """Serialize exactly 32 patches to a .syx bank file.
+
+    ``checksum='parity'`` writes the reference's hardcoded 0x58 byte
+    (dxdata.py:344) for byte-exact output parity; ``checksum='computed'``
+    writes the real DX7 two's-complement checksum.  Returns the full message
+    data (without F0/F7 framing).
+    """
+    data = _bank_message(params, checksum, names)
     write_syx(path, data)
     return data
+
+
+def params_to_syx_bytes(
+    params: np.ndarray,
+    checksum: str = "parity",
+    names: np.ndarray | None = None,
+) -> bytes:
+    """The fully framed bank message (``F0 ... F7``, 4104 bytes) as Python
+    bytes — the in-memory counterpart of :func:`params_to_syx_file` for
+    serving responses (identical validation, checksum modes, and framing;
+    these bytes written to a file parse back with :func:`read_syx`)."""
+    data = _bank_message(params, checksum, names)
+    if np.any(data > 0x7F):  # write_syx applies the same guard on the file path
+        raise ValueError("SysEx data bytes must be 7-bit")
+    return b"\xf0" + data.tobytes() + b"\xf7"

@@ -112,6 +112,18 @@ def export_bundle(model, path, batch_sizes=(32, 1024),
     return manifest
 
 
+def bank_bytes(G: GraphBatch, checksum: str = "parity") -> bytes:
+    """One framed 32-voice .syx bank for a batch of patches, padding short
+    batches by repeating the last patch (the `serve --out` / `interpolate`
+    CLI convention); >32 patches raise (a DX7 bank holds exactly 32)."""
+    from dxvae_tpu.data.sysex import params_to_syx_bytes
+
+    P = np.asarray(G.params, np.int64)
+    if 0 < len(P) < 32:
+        P = np.concatenate([P, np.repeat(P[-1:], 32 - len(P), axis=0)])
+    return params_to_syx_bytes(P, checksum=checksum)
+
+
 class ServedDXVAE:
     """Inference against an exported bundle — no model code, no checkpoint.
 

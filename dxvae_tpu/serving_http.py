@@ -1,0 +1,146 @@
+"""HTTP frontend over AOT serving bundles (beyond-reference; the reference
+deploys nothing — its only artifact is a torch state_dict, model.py:388).
+
+Completes the deployment story end to end: ``export-serving`` builds the
+StableHLO artifact, ``serve --http`` puts it on the network.  Pure stdlib
+(``http.server`` + ``json``) — a serving host needs jax and this one file's
+dependencies only, no checkpoint and no model build.
+
+Endpoints (JSON bodies; arrays as nested lists):
+
+* ``GET  /healthz`` -> ``{ok, bundle_version, dxvae_tpu_version, functions,
+  has_prior}`` — readiness + the bucket table for client-side batching.
+* ``POST /v1/generate`` ``{n, seed?, prior?, temperature?, valid_only?,
+  format?}`` -> the sampled patches; ``format="syx"`` returns
+  ``{syx_base64}``, a 32-voice bank (padded by repeating the last patch,
+  the CLI convention) ready to write to a DX7.
+* ``POST /v1/encode`` ``{X, adj}`` -> ``{mu, std}``
+* ``POST /v1/decode`` ``{z}`` -> ``{X, params, adj}``
+* ``POST /v1/roundtrip`` ``{X, adj}`` -> ``{X, params, adj}``
+
+A process-wide lock serializes artifact calls: one device stream per
+process is the TPU contract (CLAUDE.md), so concurrent clients queue in
+the frontend instead of contending on the chip.  Client errors
+(unknown route / malformed body / bucket overflow / rejection-sampling
+exhaustion) map to 4xx with ``{"error": ...}``; nothing crashes the server.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from dxvae_tpu.graph import GraphBatch
+from dxvae_tpu.serving import ServedDXVAE, bank_bytes
+
+
+def _graph_json(G: GraphBatch) -> dict:
+    return {"X": np.asarray(G.X).tolist(),
+            "params": np.asarray(G.params).tolist(),
+            "adj": np.asarray(G.adj).tolist()}
+
+
+
+
+class _BundleHandler(BaseHTTPRequestHandler):
+    server_version = "dxvae-tpu-serve/1"
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _json(self, code: int, obj: dict) -> None:
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path != "/healthz":
+            return self._json(404, {"error": f"unknown route {self.path!r}"})
+        man = self.server.model.manifest
+        self._json(200, {
+            "ok": True,
+            "bundle_version": man["bundle_version"],
+            "dxvae_tpu_version": man["dxvae_tpu_version"],
+            "functions": man["functions"],
+            "has_prior": bool(man.get("has_prior")),
+            # clients need the tensor contract (size_z for /v1/decode,
+            # n_nodes/size_x for /v1/encode) without loading the bundle
+            "cfg": man["cfg"],
+        })
+
+    def do_POST(self):
+        try:
+            n_bytes = int(self.headers.get("Content-Length") or 0)
+            req = json.loads(self.rfile.read(n_bytes) or b"{}")
+            if not isinstance(req, dict):
+                raise ValueError("body must be a JSON object")
+        except (ValueError, json.JSONDecodeError) as e:
+            return self._json(400, {"error": f"bad request body: {e}"})
+        srv: ServedDXVAE = self.server.model
+        try:
+            with self.server.lock:  # one device stream per process
+                if self.path == "/v1/generate":
+                    G = srv.generate(
+                        int(req["n"]), seed=int(req.get("seed", 0)),
+                        prior=req.get("prior"),
+                        temperature=float(req.get("temperature", 1.0)),
+                        valid_only=bool(req.get("valid_only", False)))
+                    if req.get("format") == "syx":
+                        raw = bank_bytes(
+                            G, checksum=req.get("checksum", "parity"))
+                        return self._json(200, {
+                            "syx_base64": base64.b64encode(raw).decode()})
+                    return self._json(200, _graph_json(G))
+                if self.path == "/v1/encode":
+                    mu, std = srv.encode((
+                        np.asarray(req["X"], np.float32),
+                        np.asarray(req["adj"], np.float32)))
+                    return self._json(200, {"mu": mu.tolist(),
+                                            "std": std.tolist()})
+                if self.path == "/v1/decode":
+                    G = srv.decode(np.asarray(req["z"], np.float32))
+                    return self._json(200, _graph_json(G))
+                if self.path == "/v1/roundtrip":
+                    G = srv.encode_decode((
+                        np.asarray(req["X"], np.float32),
+                        np.asarray(req["adj"], np.float32)))
+                    return self._json(200, _graph_json(G))
+            return self._json(404, {"error": f"unknown route {self.path!r}"})
+        except KeyError as e:
+            return self._json(400, {"error": f"missing field {e}"})
+        except (ValueError, TypeError, RuntimeError) as e:
+            return self._json(400, {"error": str(e)})
+
+
+def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
+                verbose: bool = False) -> ThreadingHTTPServer:
+    """Build (but don't start) an HTTP server over ``bundle_path``.  Port 0
+    binds an ephemeral port — read it back from ``server_address``."""
+    httpd = ThreadingHTTPServer((host, port), _BundleHandler)
+    httpd.model = ServedDXVAE.load(bundle_path)
+    httpd.lock = threading.Lock()
+    httpd.verbose = verbose
+    return httpd
+
+
+def serve_forever(bundle_path, host: str = "127.0.0.1", port: int = 8000,
+                  verbose: bool = True) -> None:
+    httpd = make_server(bundle_path, host, port, verbose=verbose)
+    h, p = httpd.server_address[:2]
+    print(f"serving {bundle_path} at http://{h}:{p} "
+          f"(functions: {sorted(httpd.model.manifest['functions'])})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.server_close()

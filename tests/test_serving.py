@@ -169,6 +169,89 @@ def test_serve_cli_generate_and_roundtrip(bundle, dataset, tmp_path, capsys):
     assert "[ Decode (served) ]" in capsys.readouterr().out
 
 
+def test_http_serving_endpoints(bundle, tmp_path):
+    """The stdlib HTTP frontend over a bundle: health reports the bucket
+    table, generate/decode responses equal the direct served model exactly,
+    format='syx' returns a parseable framed bank, and client errors map to
+    4xx JSON instead of crashing the server."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    from dxvae_tpu.data.sysex import read_syx
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, _ = bundle
+    httpd = make_server(path)  # port 0 = ephemeral
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    direct = ServedDXVAE.load(path)
+    try:
+        host, port = httpd.server_address[:2]
+
+        def rpc(method, route, body=None):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request(method, route,
+                             None if body is None else json.dumps(body),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read() or b"{}")
+            finally:
+                conn.close()
+
+        st, health = rpc("GET", "/healthz")
+        assert st == 200 and health["ok"]
+        assert health["functions"]["decode"] == [4, 8]
+        assert health["has_prior"] is False
+        assert health["cfg"]["size_z"] == 16  # the client's tensor contract
+
+        st, gen = rpc("POST", "/v1/generate", {"n": 3, "seed": 5})
+        assert st == 200
+        G = direct.generate(3, seed=5)
+        np.testing.assert_array_equal(np.asarray(gen["params"]), G.params)
+        np.testing.assert_array_equal(np.asarray(gen["adj"]), G.adj)
+
+        z = np.zeros((2, 16), np.float32)
+        z[0, 0] = 1.0
+        st, dec = rpc("POST", "/v1/decode", {"z": z.tolist()})
+        assert st == 200
+        D = direct.decode(z)
+        np.testing.assert_array_equal(np.asarray(dec["params"]), D.params)
+
+        st, rt = rpc("POST", "/v1/roundtrip",
+                     {"X": D.X.tolist(), "adj": D.adj.tolist()})
+        assert st == 200
+        R = direct.encode_decode((D.X, D.adj))
+        np.testing.assert_array_equal(np.asarray(rt["params"]), R.params)
+        st, enc = rpc("POST", "/v1/encode",
+                      {"X": D.X.tolist(), "adj": D.adj.tolist()})
+        mu, _ = direct.encode((D.X, D.adj))
+        np.testing.assert_array_equal(np.asarray(enc["mu"], np.float32), mu)
+
+        st, bank = rpc("POST", "/v1/generate",
+                       {"n": 2, "seed": 1, "format": "syx"})
+        assert st == 200
+        raw = base64.b64decode(bank["syx_base64"])
+        assert len(raw) == 4104 and raw[0] == 0xF0 and raw[-1] == 0xF7
+        f = tmp_path / "served_http.syx"
+        f.write_bytes(raw)
+        assert read_syx(f).shape == (32, 128)  # padded 2 -> 32 voices
+
+        st, err = rpc("POST", "/v1/nope", {})
+        assert st == 404
+        st, err = rpc("POST", "/v1/generate", {})
+        assert st == 400 and "'n'" in err["error"]
+        st, err = rpc("POST", "/v1/decode",
+                      {"z": np.zeros((9, 16)).tolist()})
+        assert st == 400 and "bucket" in err["error"]
+        st, err = rpc("GET", "/other")
+        assert st == 404
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_bundle_loads_without_model_code(bundle, tmp_path):
     """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
     import) can deserialize and run a bundle's decode artifact."""
