@@ -126,18 +126,41 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
     return G_path
 
 
-def search(ds, query: GraphBatch, k=5, chk=None, seed=0, metric="l2",
-           printout=True):
-    """Latent patch search (beyond-reference): encode the corpus and a query
-    patch, return the k nearest corpus patches in posterior-mean space.
-    Encoding is ~5.6x cheaper than generation (docs/PERF.md "Batch scaling"),
-    so indexing a whole library is one cheap batched call.  Returns a list of
-    (dataset index, distance) pairs, nearest first."""
+def build_search_index(ds, chk=None, seed=0) -> dict:
+    """Encode the whole corpus ONCE into a reusable latent index: posterior
+    means plus display provenance (voice names, source bank, algorithm).
+    Persist with ``np.savez`` (CLI ``--save-index``); later searches load it
+    instead of re-encoding the library (beyond-reference)."""
     model = _model_for(chk, seed)
-    mu_c, _ = model.encode(ds.batch)
+    mu, _ = model.encode(ds.batch)
+    prov = [ds.provenance(i) for i in range(len(ds))]
+    return {
+        "mu": np.asarray(mu, np.float32),
+        "names": np.asarray(ds.names),
+        "bank": np.asarray([str(f) for f, _ in prov]),
+        "voice": np.asarray([v for _, v in prov], np.int32),
+        "alg": np.asarray(ds.batch.params[:, 0, 18], np.int32),
+        "checkpoint": np.asarray("" if chk is None else str(chk)),
+    }
+
+
+def search_index(index: dict, query: GraphBatch, k=5, chk=None, seed=0,
+                 metric="l2", printout=True):
+    """k nearest index entries to a query patch in posterior-mean space.
+    The query is encoded with ``chk`` — use the same checkpoint the index
+    was built with (a mismatch mixes two latent spaces; warned)."""
+    import sys
+    from pathlib import Path
+
+    built_with = str(np.asarray(index.get("checkpoint", "")).item() or "")
+    if built_with and str(chk or "") != built_with:
+        print(f"warning: index was built with checkpoint {built_with!r} but "
+              f"the query uses {str(chk) if chk else 'fresh weights'!r} — "
+              "distances mix two latent spaces", file=sys.stderr)
+    model = _model_for(chk, seed)
     mu_q, _ = model.encode(query)
-    mu_c = np.asarray(mu_c, np.float64)
     mu_q = np.asarray(mu_q, np.float64)[0]
+    mu_c = np.asarray(index["mu"], np.float64)
     if metric == "cosine":
         d = 1.0 - (mu_c @ mu_q) / (
             np.linalg.norm(mu_c, axis=1) * np.linalg.norm(mu_q) + 1e-30)
@@ -146,13 +169,23 @@ def search(ds, query: GraphBatch, k=5, chk=None, seed=0, metric="l2",
     order = np.argsort(d, kind="stable")[:k]
     hits = [(int(i), float(d[i])) for i in order]
     if printout:
-        names = ds.names
+        names, banks = index["names"], index["bank"]
         for rank, (i, dist) in enumerate(hits):
-            f, voice = ds.provenance(i)
-            alg = int(ds.batch.params[i, 0, 18])
             print(f"#{rank} idx {i}\t{metric} {dist:.4f}\t'{names[i]}'\t"
-                  f"alg {alg}\t{f.name}[{voice}]")
+                  f"alg {int(index['alg'][i])}\t"
+                  f"{Path(str(banks[i])).name}[{int(index['voice'][i])}]")
     return hits
+
+
+def search(ds, query: GraphBatch, k=5, chk=None, seed=0, metric="l2",
+           printout=True):
+    """Latent patch search (beyond-reference): encode the corpus and a query
+    patch, return the k nearest corpus patches in posterior-mean space.
+    Encoding is ~5.6x cheaper than generation (docs/PERF.md "Batch scaling"),
+    so indexing a whole library is one cheap batched call.  Returns a list of
+    (dataset index, distance) pairs, nearest first."""
+    return search_index(build_search_index(ds, chk, seed), query, k=k,
+                        chk=chk, seed=seed, metric=metric, printout=printout)
 
 
 def forward_test(G, chk=None):
@@ -272,6 +305,12 @@ def main(argv=None) -> int:
                     help="voice within --query-bank (default 0)")
     sp.add_argument("--k", type=int, default=5)
     sp.add_argument("--metric", default="l2", choices=["l2", "cosine"])
+    sp.add_argument("--save-index", default=None, metavar="PATH",
+                    help="persist the encoded corpus as a reusable latent "
+                         "index (npz: posterior means + provenance)")
+    sp.add_argument("--index-file", default=None, metavar="PATH",
+                    help="search a saved index instead of re-encoding the "
+                         "corpus; with --query-bank no dataset is needed")
     sp = sub.add_parser("forward-test", help="single-pass loss printout (main.py:44)")
     common(sp)
     sp.add_argument("--index", type=int, default=15)
@@ -417,17 +456,29 @@ def main(argv=None) -> int:
                     project_topology=args.project_topology,
                     checksum="computed" if args.computed_checksum else "parity")
     elif args.cmd == "search":
-        ds = DXDataset(args.raw_dir,
-                       include="synprez" if args.synprez_only else None)
+        def _ds():
+            return DXDataset(args.raw_dir,
+                             include="synprez" if args.synprez_only else None)
+
+        ds = None
+        if args.index_file is not None:
+            with np.load(args.index_file) as z:
+                index = {key: z[key] for key in z.files}
+        else:
+            ds = _ds()
+            index = build_search_index(ds, args.checkpoint, cfg.seed)
+        if args.save_index is not None:
+            np.savez(args.save_index, **index)
+            print(f"wrote index {args.save_index} ({len(index['mu'])} patches)")
         if args.query_bank is not None:
             from dxvae_tpu.data.sysex import read_syx, unpack_voices
 
             P, X, adjq = unpack_voices(read_syx(args.query_bank))
             q = GraphBatch(X=X, params=P, adj=adjq)[args.query_voice]
         else:
-            q = ds[args.index]
-        search(ds, q, k=args.k, chk=args.checkpoint, seed=cfg.seed,
-               metric=args.metric)
+            q = (ds if ds is not None else _ds())[args.index]
+        search_index(index, q, k=args.k, chk=args.checkpoint, seed=cfg.seed,
+                     metric=args.metric)
     elif args.cmd == "export-serving":
         from dxvae_tpu.serving import export_bundle
 

@@ -203,6 +203,24 @@ def test_cli_search_self_query(dataset, capsys):
     assert "idx 7" in out and dataset.files[0].name in out
 
 
+def test_cli_search_index_roundtrip(dataset, tmp_path, capsys):
+    """A persisted latent index (--save-index / --index-file) reproduces the
+    direct corpus-encoding search exactly, provenance included."""
+    import numpy as np
+
+    from dxvae_tpu.cli import build_search_index, search, search_index
+
+    direct = search(dataset, dataset[7], k=3)
+    index = build_search_index(dataset)
+    np.savez(tmp_path / "idx.npz", **index)
+    with np.load(tmp_path / "idx.npz") as z:
+        loaded = {key: z[key] for key in z.files}
+    hits = search_index(loaded, dataset[7], k=3)
+    assert hits == direct
+    out = capsys.readouterr().out
+    assert "idx 7" in out and dataset.files[0].name in out
+
+
 def test_cli_generate_temperature():
     """--temperature plumbs through: T=0 makes every standard-prior sample
     decode the same z=0 patch; T=1 (default) does not."""
