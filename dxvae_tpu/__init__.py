@@ -27,7 +27,8 @@ __version__ = "0.3.0"
 
 from dxvae_tpu.graph import GraphBatch
 
-__all__ = ["DXVAE", "DXDataset", "graph_to_syx", "GraphBatch", "__version__"]
+__all__ = ["DXVAE", "DXDataset", "graph_to_syx", "GraphBatch",
+           "ServedDXVAE", "export_bundle", "__version__"]
 
 
 def __getattr__(name):
@@ -40,4 +41,8 @@ def __getattr__(name):
         from dxvae_tpu.data.dataset import DXDataset
 
         return DXDataset
+    if name in ("ServedDXVAE", "export_bundle"):
+        from dxvae_tpu import serving
+
+        return getattr(serving, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

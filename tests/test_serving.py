@@ -12,6 +12,16 @@ from dxvae_tpu.api import DXVAE
 from dxvae_tpu.serving import BUNDLE_VERSION, ServedDXVAE, export_bundle
 
 
+def test_package_level_serving_exports():
+    """The serving surface is reachable from the package root (lazily, so
+    data-only users still don't pay the jax import)."""
+    import dxvae_tpu
+
+    assert dxvae_tpu.ServedDXVAE is ServedDXVAE
+    assert dxvae_tpu.export_bundle is export_bundle
+    assert "ServedDXVAE" in dxvae_tpu.__all__
+
+
 @pytest.fixture(scope="module")
 def bundle(tmp_path_factory):
     model = DXVAE(size_H=64, size_Z=16, seed=0, unroll=False)
