@@ -157,17 +157,11 @@ def search_index(index: dict, query: GraphBatch, k=5, chk=None, seed=0,
         print(f"warning: index was built with checkpoint {built_with!r} but "
               f"the query uses {str(chk) if chk else 'fresh weights'!r} — "
               "distances mix two latent spaces", file=sys.stderr)
+    from dxvae_tpu.serving import knn_hits
+
     model = _model_for(chk, seed)
     mu_q, _ = model.encode(query)
-    mu_q = np.asarray(mu_q, np.float64)[0]
-    mu_c = np.asarray(index["mu"], np.float64)
-    if metric == "cosine":
-        d = 1.0 - (mu_c @ mu_q) / (
-            np.linalg.norm(mu_c, axis=1) * np.linalg.norm(mu_q) + 1e-30)
-    else:
-        d = np.linalg.norm(mu_c - mu_q, axis=1)
-    order = np.argsort(d, kind="stable")[:k]
-    hits = [(int(i), float(d[i])) for i in order]
+    hits = knn_hits(index["mu"], np.asarray(mu_q)[0], k=k, metric=metric)
     if printout:
         names, banks = index["names"], index["bank"]
         for rank, (i, dist) in enumerate(hits):
@@ -361,8 +355,12 @@ def main(argv=None) -> int:
     sp.add_argument("--http", default=None, metavar="[HOST]:PORT",
                     help="serve the bundle over HTTP instead of a one-shot "
                          "op: JSON endpoints /healthz /v1/{generate,encode,"
-                         "decode,roundtrip} (dxvae_tpu.serving_http; host "
-                         "defaults to 127.0.0.1)")
+                         "decode,roundtrip,search} (dxvae_tpu.serving_http; "
+                         "host defaults to 127.0.0.1)")
+    sp.add_argument("--search-index", default=None, metavar="PATH",
+                    help="latent index npz (search --save-index) enabling "
+                         "/v1/search; must be built with the bundle's "
+                         "checkpoint")
     sp.add_argument("--raw-dir", default=None,
                     help=f"dataset for --op roundtrip (default: {dflt.raw_dir})")
     sp.add_argument("--synprez-only", action="store_true")
@@ -495,7 +493,8 @@ def main(argv=None) -> int:
             from dxvae_tpu.serving_http import serve_forever
 
             host, _, port = args.http.rpartition(":")
-            serve_forever(args.bundle, host or "127.0.0.1", int(port))
+            serve_forever(args.bundle, host or "127.0.0.1", int(port),
+                          index_path=args.search_index)
             return 0
         from dxvae_tpu.serving import ServedDXVAE, bank_bytes
 

@@ -56,24 +56,33 @@ def read_syx(path: str | os.PathLike, verify_checksum: bool = False) -> np.ndarr
     ``ValueError`` on corruption.
     """
     blob = np.fromfile(os.fspath(path), dtype=np.uint8)
+    return read_syx_bytes(blob, verify_checksum=verify_checksum, label=str(path))
+
+
+def read_syx_bytes(blob, verify_checksum: bool = False,
+                   label: str = "<bytes>") -> np.ndarray:
+    """:func:`read_syx` for an in-memory bank message (bytes or uint8 array)
+    — serving requests carry banks as base64, not files."""
+    blob = np.frombuffer(blob, np.uint8) if isinstance(
+        blob, (bytes, bytearray)) else np.asarray(blob, np.uint8)
     starts = np.flatnonzero(blob == 0xF0)
     if starts.size == 0:
-        raise ValueError(f"{path}: no SysEx start byte (F0) found")
+        raise ValueError(f"{label}: no SysEx start byte (F0) found")
     s = int(starts[0])
     ends = np.flatnonzero(blob[s:] == 0xF7)
     if ends.size == 0:
-        raise ValueError(f"{path}: unterminated SysEx message")
+        raise ValueError(f"{label}: unterminated SysEx message")
     data = blob[s + 1 : s + int(ends[0])]  # between F0 and F7
     payload = data[len(HEADER) : -1]  # strip header + checksum
     if payload.size != VOICES_PER_BANK * VOICE_BYTES:
         raise ValueError(
-            f"{path}: expected {VOICES_PER_BANK * VOICE_BYTES} voice bytes, got {payload.size}"
+            f"{label}: expected {VOICES_PER_BANK * VOICE_BYTES} voice bytes, got {payload.size}"
         )
     if verify_checksum:
         stored, computed = int(data[-1]), dx7_checksum(payload)
         if stored != computed:
             raise ValueError(
-                f"{path}: checksum mismatch (stored 0x{stored:02x}, computed 0x{computed:02x})"
+                f"{label}: checksum mismatch (stored 0x{stored:02x}, computed 0x{computed:02x})"
             )
     return payload.reshape(VOICES_PER_BANK, VOICE_BYTES).copy()
 

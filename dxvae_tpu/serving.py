@@ -112,6 +112,23 @@ def export_bundle(model, path, batch_sizes=(32, 1024),
     return manifest
 
 
+def knn_hits(mu_corpus, mu_query, k: int = 5, metric: str = "l2"):
+    """k nearest corpus rows to a query in latent space: ``[(index,
+    distance)]``, nearest first (shared by the CLI search and the HTTP
+    /v1/search endpoint)."""
+    mu_c = np.asarray(mu_corpus, np.float64)
+    mu_q = np.asarray(mu_query, np.float64).ravel()
+    if metric == "cosine":
+        d = 1.0 - (mu_c @ mu_q) / (
+            np.linalg.norm(mu_c, axis=1) * np.linalg.norm(mu_q) + 1e-30)
+    elif metric == "l2":
+        d = np.linalg.norm(mu_c - mu_q, axis=1)
+    else:
+        raise ValueError(f"unknown metric {metric!r}: 'l2' or 'cosine'")
+    order = np.argsort(d, kind="stable")[:k]
+    return [(int(i), float(d[i])) for i in order]
+
+
 def bank_bytes(G: GraphBatch, checksum: str = "parity") -> bytes:
     """One framed 32-voice .syx bank for a batch of patches, padding short
     batches by repeating the last patch (the `serve --out` / `interpolate`

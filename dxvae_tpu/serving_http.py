@@ -17,6 +17,10 @@ Endpoints (JSON bodies; arrays as nested lists):
 * ``POST /v1/encode`` ``{X, adj}`` -> ``{mu, std}``
 * ``POST /v1/decode`` ``{z}`` -> ``{X, params, adj}``
 * ``POST /v1/roundtrip`` ``{X, adj}`` -> ``{X, params, adj}``
+* ``POST /v1/search`` ``{X, adj | syx_base64 [, voice], k?, metric?}`` ->
+  ``{hits: [{idx, distance, name, bank, voice, alg}]}`` — latent k-NN over
+  a loaded index (``make_server(index_path=...)`` / CLI ``--search-index``);
+  a client can POST a raw bank and get its nearest library patches back.
 
 A process-wide lock serializes artifact calls: one device stream per
 process is the TPU contract (CLAUDE.md), so concurrent clients queue in
@@ -35,7 +39,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from dxvae_tpu.graph import GraphBatch
-from dxvae_tpu.serving import ServedDXVAE, bank_bytes
+from dxvae_tpu.serving import ServedDXVAE, bank_bytes, knn_hits
 
 
 def _graph_json(G: GraphBatch) -> dict:
@@ -72,6 +76,7 @@ class _BundleHandler(BaseHTTPRequestHandler):
             "dxvae_tpu_version": man["dxvae_tpu_version"],
             "functions": man["functions"],
             "has_prior": bool(man.get("has_prior")),
+            "has_search_index": self.server.index is not None,
             # clients need the tensor contract (size_z for /v1/decode,
             # n_nodes/size_x for /v1/encode) without loading the bundle
             "cfg": man["cfg"],
@@ -114,6 +119,34 @@ class _BundleHandler(BaseHTTPRequestHandler):
                         np.asarray(req["X"], np.float32),
                         np.asarray(req["adj"], np.float32)))
                     return self._json(200, _graph_json(G))
+                if self.path == "/v1/search":
+                    index = self.server.index
+                    if index is None:
+                        raise ValueError(
+                            "server started without a search index "
+                            "(serve --http ... --search-index idx.npz)")
+                    if "syx_base64" in req:  # a bank as the query, no tensors
+                        from dxvae_tpu.data.sysex import (read_syx_bytes,
+                                                          unpack_voices)
+
+                        raw = read_syx_bytes(
+                            base64.b64decode(req["syx_base64"]))
+                        _, X, adj = unpack_voices(raw)
+                        v = int(req.get("voice", 0))
+                        X, adj = X[v:v + 1], adj[v:v + 1]
+                    else:
+                        X = np.asarray(req["X"], np.float32)
+                        adj = np.asarray(req["adj"], np.float32)
+                    mu, _ = srv.encode((X, adj))
+                    hits = knn_hits(index["mu"], mu[0],
+                                    k=int(req.get("k", 5)),
+                                    metric=req.get("metric", "l2"))
+                    return self._json(200, {"hits": [
+                        {"idx": i, "distance": d,
+                         "name": str(index["names"][i]),
+                         "bank": str(index["bank"][i]),
+                         "voice": int(index["voice"][i]),
+                         "alg": int(index["alg"][i])} for i, d in hits]})
             return self._json(404, {"error": f"unknown route {self.path!r}"})
         except KeyError as e:
             return self._json(400, {"error": f"missing field {e}"})
@@ -122,19 +155,36 @@ class _BundleHandler(BaseHTTPRequestHandler):
 
 
 def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
-                verbose: bool = False) -> ThreadingHTTPServer:
+                verbose: bool = False,
+                index_path=None) -> ThreadingHTTPServer:
     """Build (but don't start) an HTTP server over ``bundle_path``.  Port 0
-    binds an ephemeral port — read it back from ``server_address``."""
+    binds an ephemeral port — read it back from ``server_address``.
+    ``index_path`` loads a latent index (CLI ``search --save-index``) and
+    enables ``/v1/search``; it must live in the same latent space as the
+    bundle (same checkpoint — the latent width is checked at startup)."""
     httpd = ThreadingHTTPServer((host, port), _BundleHandler)
     httpd.model = ServedDXVAE.load(bundle_path)
     httpd.lock = threading.Lock()
     httpd.verbose = verbose
+    httpd.index = None
+    if index_path is not None:
+        with np.load(index_path) as z:
+            httpd.index = {k: z[k] for k in z.files}
+        size_z = httpd.model.manifest["cfg"]["size_z"]
+        got = httpd.index["mu"].shape[1]
+        if got != size_z:
+            httpd.server_close()
+            raise ValueError(
+                f"search index latent width {got} != bundle size_z {size_z} "
+                "— build the index with the same checkpoint the bundle was "
+                "exported from")
     return httpd
 
 
 def serve_forever(bundle_path, host: str = "127.0.0.1", port: int = 8000,
-                  verbose: bool = True) -> None:
-    httpd = make_server(bundle_path, host, port, verbose=verbose)
+                  verbose: bool = True, index_path=None) -> None:
+    httpd = make_server(bundle_path, host, port, verbose=verbose,
+                        index_path=index_path)
     h, p = httpd.server_address[:2]
     print(f"serving {bundle_path} at http://{h}:{p} "
           f"(functions: {sorted(httpd.model.manifest['functions'])})")

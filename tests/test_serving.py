@@ -262,6 +262,93 @@ def test_http_serving_endpoints(bundle, tmp_path):
         httpd.server_close()
 
 
+def test_http_search_endpoint(bundle, tmp_path):
+    """/v1/search over a loaded latent index: a tensor query returns itself
+    at distance ~0 with provenance, a base64 bank query round-trips through
+    the codec to the same hit, a server without an index 400s the route,
+    and a latent-width-mismatched index is rejected at startup."""
+    import base64
+    import http.client
+    import json
+    import threading
+
+    from dxvae_tpu.serving import bank_bytes
+    from dxvae_tpu.serving_http import make_server
+
+    model, path, _ = bundle
+    served = ServedDXVAE.load(path)
+    G = model.generate(4)  # 4-patch corpus in the bundle's own space
+    mu, _ = served.encode(G)
+    np.savez(tmp_path / "idx.npz", mu=mu,
+             names=np.asarray([f"PATCH{i:05d}" for i in range(4)]),
+             bank=np.asarray(["mem://corpus"] * 4),
+             voice=np.arange(4, dtype=np.int32),
+             alg=np.asarray(G.params[:, 0, 18], np.int32),
+             checkpoint=np.asarray(""))
+    httpd = make_server(path, index_path=tmp_path / "idx.npz")
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+
+        def rpc(method, route, body=None):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request(method, route,
+                             None if body is None else json.dumps(body),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read() or b"{}")
+            finally:
+                conn.close()
+
+        st, h = rpc("GET", "/healthz")
+        assert st == 200 and h["has_search_index"] is True
+
+        st, out = rpc("POST", "/v1/search",
+                      {"X": G.X[2:3].tolist(), "adj": G.adj[2:3].tolist(),
+                       "k": 2})
+        assert st == 200 and len(out["hits"]) == 2
+        top = out["hits"][0]
+        assert top["idx"] == 2 and top["distance"] < 1e-5
+        assert top["name"] == "PATCH00002" and top["voice"] == 2
+
+        raw = bank_bytes(G[1])  # query by bank: patch 1 in voice slot 0
+        st, out = rpc("POST", "/v1/search",
+                      {"syx_base64": base64.b64encode(raw).decode(),
+                       "voice": 0, "k": 1})
+        assert st == 200 and out["hits"][0]["idx"] == 1
+
+        st, err = rpc("POST", "/v1/search", {"X": [], "adj": [],
+                                             "metric": "dot"})
+        assert st == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+    bare = make_server(path)  # no index: the route must 400, not crash
+    threading.Thread(target=bare.serve_forever, daemon=True).start()
+    try:
+        host, port = bare.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/v1/search",
+                     json.dumps({"X": G.X[:1].tolist(),
+                                 "adj": G.adj[:1].tolist()}),
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "search index" in json.loads(r.read())["error"]
+        conn.close()
+    finally:
+        bare.shutdown()
+        bare.server_close()
+
+    np.savez(tmp_path / "bad.npz", mu=np.zeros((4, 8), np.float32),
+             names=np.asarray(["x"] * 4), bank=np.asarray(["y"] * 4),
+             voice=np.zeros(4, np.int32), alg=np.zeros(4, np.int32))
+    with pytest.raises(ValueError, match="latent width"):
+        make_server(path, index_path=tmp_path / "bad.npz")
+
+
 def test_bundle_loads_without_model_code(bundle, tmp_path):
     """The deployment story: a fresh process with ONLY jax (no dxvae_tpu
     import) can deserialize and run a bundle's decode artifact."""
