@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--raw-dir", default=None,
                     help="bank directory (default: $DXVAE_RAW_DIR or the "
                          "reference mount)")
+    ap.add_argument("--http", action="store_true",
+                    help="measure the HTTP frontend instead: per-request "
+                         "localhost /v1/roundtrip wall time vs the direct "
+                         "ServedDXVAE call — the difference is the "
+                         "HTTP+JSON layer cost (host-side, chip-independent)")
     args = ap.parse_args()
 
     import jax
@@ -71,6 +76,60 @@ def main():
     reps = int(np.ceil(n / len(b.X)))
     X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[:n], jnp.float32)
     adj = jnp.asarray(np.tile(b.adj, (reps, 1, 1))[:n], jnp.float32)
+
+    if args.http:
+        # per-request wall timing is valid here (unlike the tunnel caveat):
+        # both arms fully materialize the numpy outputs, so the device
+        # readback is included identically in each and cancels in the delta
+        import http.client
+        import threading
+
+        from dxvae_tpu.serving import ServedDXVAE
+        from dxvae_tpu.serving_http import make_server
+
+        srv = ServedDXVAE.load(args.bundle)
+        Xn = np.asarray(X, np.float32)
+        adjn = np.asarray(adj, np.float32)
+        srv.encode_decode((Xn, adjn))  # deserialize + warm
+
+        def med(f, r=max(9, args.repeats * 3)):
+            ts = []
+            for _ in range(r):
+                t0 = time.perf_counter()
+                f()
+                ts.append(time.perf_counter() - t0)
+            ts.sort()
+            return ts[len(ts) // 2]
+
+        t_direct = med(lambda: srv.encode_decode((Xn, adjn)))
+        httpd = make_server(args.bundle)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        try:
+            host, port = httpd.server_address[:2]
+            body = json.dumps({"X": Xn.tolist(), "adj": adjn.tolist()})
+            conn = http.client.HTTPConnection(host, port)  # keep-alive client
+
+            def http_req():
+                conn.request("POST", "/v1/roundtrip", body,
+                             {"Content-Type": "application/json"})
+                json.loads(conn.getresponse().read())
+
+            http_req()  # warm the server's artifact cache
+            t_http = med(http_req)
+        finally:
+            httpd.shutdown()
+            httpd.server_close()
+        print(json.dumps({
+            "metric": f"patches_per_sec_http_roundtrip_b{n}",
+            "value": round(n / t_http, 1),
+            "unit": "patches/sec",
+            "direct_per_request_ms": round(t_direct * 1e3, 2),
+            "http_per_request_ms": round(t_http * 1e3, 2),
+            "http_overhead_ms": round((t_http - t_direct) * 1e3, 2),
+            "note": "localhost HTTP+JSON frontend over the same artifact; "
+                    "the overhead is host-side (chip-independent)",
+        }))
+        return 0
 
     def chain(k):
         Xk, adjk = X, adj
