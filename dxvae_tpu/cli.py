@@ -126,12 +126,12 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
     return G_path
 
 
-def build_search_index(ds, chk=None, seed=0) -> dict:
+def build_search_index(ds, chk=None, seed=0, model=None) -> dict:
     """Encode the whole corpus ONCE into a reusable latent index: posterior
     means plus display provenance (voice names, source bank, algorithm).
     Persist with ``np.savez`` (CLI ``--save-index``); later searches load it
     instead of re-encoding the library (beyond-reference)."""
-    model = _model_for(chk, seed)
+    model = model if model is not None else _model_for(chk, seed)
     mu, _ = model.encode(ds.batch)
     prov = [ds.provenance(i) for i in range(len(ds))]
     return {
@@ -145,21 +145,23 @@ def build_search_index(ds, chk=None, seed=0) -> dict:
 
 
 def search_index(index: dict, query: GraphBatch, k=5, chk=None, seed=0,
-                 metric="l2", printout=True):
+                 metric="l2", printout=True, model=None):
     """k nearest index entries to a query patch in posterior-mean space.
     The query is encoded with ``chk`` — use the same checkpoint the index
     was built with (a mismatch mixes two latent spaces; warned)."""
     import sys
     from pathlib import Path
 
-    built_with = str(np.asarray(index.get("checkpoint", "")).item() or "")
-    if built_with and str(chk or "") != built_with:
-        print(f"warning: index was built with checkpoint {built_with!r} but "
-              f"the query uses {str(chk) if chk else 'fresh weights'!r} — "
-              "distances mix two latent spaces", file=sys.stderr)
+    if "checkpoint" in index:  # warn on mismatch in EITHER direction,
+        built_with = str(np.asarray(index["checkpoint"]).item() or "")
+        if str(chk or "") != built_with:  # fresh-vs-trained included
+            print(f"warning: index was built with checkpoint "
+                  f"{built_with or 'fresh weights'!r} but the query uses "
+                  f"{str(chk) if chk else 'fresh weights'!r} — distances "
+                  "mix two latent spaces", file=sys.stderr)
     from dxvae_tpu.serving import knn_hits
 
-    model = _model_for(chk, seed)
+    model = model if model is not None else _model_for(chk, seed)
     mu_q, _ = model.encode(query)
     hits = knn_hits(index["mu"], np.asarray(mu_q)[0], k=k, metric=metric)
     if printout:
@@ -178,8 +180,10 @@ def search(ds, query: GraphBatch, k=5, chk=None, seed=0, metric="l2",
     Encoding is ~5.6x cheaper than generation (docs/PERF.md "Batch scaling"),
     so indexing a whole library is one cheap batched call.  Returns a list of
     (dataset index, distance) pairs, nearest first."""
-    return search_index(build_search_index(ds, chk, seed), query, k=k,
-                        chk=chk, seed=seed, metric=metric, printout=printout)
+    model = _model_for(chk, seed)  # ONE model: corpus and query encodes share it
+    return search_index(build_search_index(ds, chk, seed, model=model), query,
+                        k=k, chk=chk, seed=seed, metric=metric,
+                        printout=printout, model=model)
 
 
 def forward_test(G, chk=None):
@@ -460,8 +464,9 @@ def main(argv=None) -> int:
 
         ds = None
         if args.index_file is not None:
-            with np.load(args.index_file) as z:
-                index = {key: z[key] for key in z.files}
+            from dxvae_tpu.serving import load_search_index
+
+            index = load_search_index(args.index_file)
         else:
             ds = _ds()
             index = build_search_index(ds, args.checkpoint, cfg.seed)
@@ -492,7 +497,11 @@ def main(argv=None) -> int:
         if args.http is not None:
             from dxvae_tpu.serving_http import serve_forever
 
-            host, _, port = args.http.rpartition(":")
+            host, sep, port = args.http.rpartition(":")
+            if not sep or not port.isdigit():
+                raise SystemExit(
+                    f"--http expects [HOST]:PORT (e.g. ':8000' or "
+                    f"'0.0.0.0:8000'), got {args.http!r}")
             serve_forever(args.bundle, host or "127.0.0.1", int(port),
                           index_path=args.search_index)
             return 0

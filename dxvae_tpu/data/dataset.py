@@ -52,11 +52,17 @@ def _default_save_dir(raw_dir: Path) -> Path:
     env = os.environ.get("DXVAE_CACHE_DIR")
     if env:
         return Path(env)
+    fallback = Path.home() / ".cache" / "dxvae_tpu"
     try:
         if raw_dir.resolve().is_relative_to(_NO_CACHE_ROOT):
-            return Path.home() / ".cache" / "dxvae_tpu"
+            return fallback
     except (OSError, ValueError):
         pass
+    # any other read-only bank directory (shared mounts etc.): same fallback
+    # rather than crashing in _save (note: as root os.access is permissive,
+    # so truly read-only filesystems may still surface in _save — see there)
+    if not os.access(raw_dir, os.W_OK):
+        return fallback
     return raw_dir
 
 
@@ -89,6 +95,7 @@ class DXDataset:
         include: str | None = None,
     ):
         self.raw_dir = Path(raw_dir)
+        self._save_dir_defaulted = save_dir is None
         self.save_dir = (Path(save_dir) if save_dir is not None
                          else _default_save_dir(self.raw_dir))
         files = sorted(self.raw_dir.rglob("*.syx"))
@@ -117,6 +124,19 @@ class DXDataset:
         return GraphBatch(X=X, params=params, adj=adj)
 
     def _save(self) -> None:
+        try:
+            self._write_cache()
+        except OSError:
+            # a defaulted save_dir that turns out read-only (os.access is
+            # permissive for root) falls back instead of failing the build;
+            # an explicit save_dir is the caller's contract — re-raise
+            if not self._save_dir_defaulted:
+                raise
+            self.save_dir = Path.home() / ".cache" / "dxvae_tpu"
+            self._cache_path = self.save_dir / self._cache_path.name
+            self._write_cache()
+
+    def _write_cache(self) -> None:
         self.save_dir.mkdir(parents=True, exist_ok=True)
         tmp = self._cache_path.with_suffix(".tmp.npz")
         np.savez_compressed(tmp, X=self.batch.X, params=self.batch.params, adj=self.batch.adj)

@@ -112,6 +112,20 @@ def export_bundle(model, path, batch_sizes=(32, 1024),
     return manifest
 
 
+def load_search_index(path) -> dict:
+    """Load a latent search index (CLI ``search --save-index``) back into a
+    dict of arrays, validating the schema — the one loader shared by the CLI
+    ``--index-file`` path and the HTTP server's ``--search-index``."""
+    with np.load(path) as z:
+        index = {k: z[k] for k in z.files}
+    missing = {"mu", "names", "bank", "voice", "alg"} - set(index)
+    if missing:
+        raise ValueError(f"{path}: not a search index — missing keys "
+                         f"{sorted(missing)} (build one with "
+                         "`search --save-index`)")
+    return index
+
+
 def knn_hits(mu_corpus, mu_query, k: int = 5, metric: str = "l2"):
     """k nearest corpus rows to a query in latent space: ``[(index,
     distance)]``, nearest first (shared by the CLI search and the HTTP

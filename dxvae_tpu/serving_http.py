@@ -39,7 +39,8 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from dxvae_tpu.graph import GraphBatch
-from dxvae_tpu.serving import ServedDXVAE, bank_bytes, knn_hits
+from dxvae_tpu.serving import (ServedDXVAE, bank_bytes, knn_hits,
+                               load_search_index)
 
 
 def _graph_json(G: GraphBatch) -> dict:
@@ -92,65 +93,77 @@ class _BundleHandler(BaseHTTPRequestHandler):
             return self._json(400, {"error": f"bad request body: {e}"})
         srv: ServedDXVAE = self.server.model
         try:
-            with self.server.lock:  # one device stream per process
-                if self.path == "/v1/generate":
+            # only the artifact calls need the device lock (one stream per
+            # process); request parsing and response JSON stay outside it so
+            # host-only work from one client never queues another
+            if self.path == "/v1/generate":
+                with self.server.lock:
                     G = srv.generate(
                         int(req["n"]), seed=int(req.get("seed", 0)),
                         prior=req.get("prior"),
                         temperature=float(req.get("temperature", 1.0)),
                         valid_only=bool(req.get("valid_only", False)))
-                    if req.get("format") == "syx":
-                        raw = bank_bytes(
-                            G, checksum=req.get("checksum", "parity"))
-                        return self._json(200, {
-                            "syx_base64": base64.b64encode(raw).decode()})
-                    return self._json(200, _graph_json(G))
-                if self.path == "/v1/encode":
-                    mu, std = srv.encode((
-                        np.asarray(req["X"], np.float32),
-                        np.asarray(req["adj"], np.float32)))
-                    return self._json(200, {"mu": mu.tolist(),
-                                            "std": std.tolist()})
-                if self.path == "/v1/decode":
-                    G = srv.decode(np.asarray(req["z"], np.float32))
-                    return self._json(200, _graph_json(G))
-                if self.path == "/v1/roundtrip":
-                    G = srv.encode_decode((
-                        np.asarray(req["X"], np.float32),
-                        np.asarray(req["adj"], np.float32)))
-                    return self._json(200, _graph_json(G))
-                if self.path == "/v1/search":
-                    index = self.server.index
-                    if index is None:
-                        raise ValueError(
-                            "server started without a search index "
-                            "(serve --http ... --search-index idx.npz)")
-                    if "syx_base64" in req:  # a bank as the query, no tensors
-                        from dxvae_tpu.data.sysex import (read_syx_bytes,
-                                                          unpack_voices)
+                if req.get("format") == "syx":
+                    raw = bank_bytes(G, checksum=req.get("checksum", "parity"))
+                    return self._json(200, {
+                        "syx_base64": base64.b64encode(raw).decode()})
+                return self._json(200, _graph_json(G))
+            if self.path == "/v1/encode":
+                X = np.asarray(req["X"], np.float32)
+                adj = np.asarray(req["adj"], np.float32)
+                with self.server.lock:
+                    mu, std = srv.encode((X, adj))
+                return self._json(200, {"mu": mu.tolist(),
+                                        "std": std.tolist()})
+            if self.path == "/v1/decode":
+                z = np.asarray(req["z"], np.float32)
+                with self.server.lock:
+                    G = srv.decode(z)
+                return self._json(200, _graph_json(G))
+            if self.path == "/v1/roundtrip":
+                X = np.asarray(req["X"], np.float32)
+                adj = np.asarray(req["adj"], np.float32)
+                with self.server.lock:
+                    G = srv.encode_decode((X, adj))
+                return self._json(200, _graph_json(G))
+            if self.path == "/v1/search":
+                index = self.server.index
+                if index is None:
+                    raise ValueError(
+                        "server started without a search index "
+                        "(serve --http ... --search-index idx.npz)")
+                if "syx_base64" in req:  # a bank as the query, no tensors
+                    from dxvae_tpu.data.sysex import (read_syx_bytes,
+                                                      unpack_voices)
 
-                        raw = read_syx_bytes(
-                            base64.b64decode(req["syx_base64"]))
-                        _, X, adj = unpack_voices(raw)
-                        v = int(req.get("voice", 0))
-                        X, adj = X[v:v + 1], adj[v:v + 1]
-                    else:
-                        X = np.asarray(req["X"], np.float32)
-                        adj = np.asarray(req["adj"], np.float32)
+                    raw = read_syx_bytes(base64.b64decode(req["syx_base64"]))
+                    _, X, adj = unpack_voices(raw)
+                    v = int(req.get("voice", 0))
+                    if not 0 <= v < len(X):
+                        raise ValueError(
+                            f"voice {v} out of range for a {len(X)}-voice bank")
+                    X, adj = X[v:v + 1], adj[v:v + 1]
+                else:
+                    X = np.asarray(req["X"], np.float32)
+                    adj = np.asarray(req["adj"], np.float32)
+                with self.server.lock:
                     mu, _ = srv.encode((X, adj))
-                    hits = knn_hits(index["mu"], mu[0],
-                                    k=int(req.get("k", 5)),
-                                    metric=req.get("metric", "l2"))
-                    return self._json(200, {"hits": [
-                        {"idx": i, "distance": d,
-                         "name": str(index["names"][i]),
-                         "bank": str(index["bank"][i]),
-                         "voice": int(index["voice"][i]),
-                         "alg": int(index["alg"][i])} for i, d in hits]})
+                if mu.shape[0] != 1:
+                    raise ValueError(
+                        f"search takes exactly one query patch, got {mu.shape[0]}")
+                hits = knn_hits(index["mu"], mu[0],
+                                k=int(req.get("k", 5)),
+                                metric=req.get("metric", "l2"))
+                return self._json(200, {"hits": [
+                    {"idx": i, "distance": d,
+                     "name": str(index["names"][i]),
+                     "bank": str(index["bank"][i]),
+                     "voice": int(index["voice"][i]),
+                     "alg": int(index["alg"][i])} for i, d in hits]})
             return self._json(404, {"error": f"unknown route {self.path!r}"})
         except KeyError as e:
             return self._json(400, {"error": f"missing field {e}"})
-        except (ValueError, TypeError, RuntimeError) as e:
+        except (ValueError, TypeError, RuntimeError, IndexError) as e:
             return self._json(400, {"error": str(e)})
 
 
@@ -168,8 +181,11 @@ def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
     httpd.verbose = verbose
     httpd.index = None
     if index_path is not None:
-        with np.load(index_path) as z:
-            httpd.index = {k: z[k] for k in z.files}
+        try:
+            httpd.index = load_search_index(index_path)
+        except ValueError:
+            httpd.server_close()
+            raise
         size_z = httpd.model.manifest["cfg"]["size_z"]
         got = httpd.index["mu"].shape[1]
         if got != size_z:

@@ -203,6 +203,11 @@ def test_dataset_cache_never_writes_into_reference_mount(tmp_path, monkeypatch):
     assert _default_save_dir(_NO_CACHE_ROOT / "DX_data") == (
         Path.home() / ".cache" / "dxvae_tpu")
     assert _default_save_dir(tmp_path) == tmp_path
+    # a generic unwritable raw_dir falls back too (os.access says no)
+    monkeypatch.setattr("dxvae_tpu.data.dataset.os.access",
+                        lambda p, m: False)
+    assert _default_save_dir(tmp_path) == Path.home() / ".cache" / "dxvae_tpu"
+    monkeypatch.undo()
     monkeypatch.setenv("DXVAE_CACHE_DIR", str(tmp_path / "env_cache"))
     assert _default_save_dir(_NO_CACHE_ROOT / "DX_data") == tmp_path / "env_cache"
 
