@@ -316,6 +316,12 @@ def main(argv=None) -> int:
     common(sp)
     sp.add_argument("--index", type=int, default=0)
     sp.add_argument("--count", type=int, default=1)
+    sp.add_argument("--bank", default=None, metavar="PATH",
+                    help="inspect an external 32-voice .syx bank instead of "
+                         "the dataset (no --raw-dir needed)")
+    sp.add_argument("--verify-checksum", action="store_true",
+                    help="with --bank: validate the stored DX7 checksum and "
+                         "fail on corruption")
     sp = sub.add_parser(
         "export-serving",
         help="export an AOT serving bundle: StableHLO at fixed batch "
@@ -537,7 +543,14 @@ def main(argv=None) -> int:
         G = _load_graphs(args)
         forward_test(G.slice(args.index, args.index + 1), args.checkpoint)
     elif args.cmd == "print-data":
-        G = _load_graphs(args)
+        if args.bank is not None:
+            from dxvae_tpu.data.sysex import read_syx, unpack_voices
+
+            P, X, adjb = unpack_voices(
+                read_syx(args.bank, verify_checksum=args.verify_checksum))
+            G = GraphBatch(X=X, params=P, adj=adjb)
+        else:
+            G = _load_graphs(args)
         print_data(G.slice(args.index, args.index + args.count))
     elif args.cmd == "convert-checkpoint":
         from dxvae_tpu.utils.checkpoint import convert_checkpoint

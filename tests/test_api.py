@@ -203,6 +203,27 @@ def test_cli_search_self_query(dataset, capsys):
     assert "idx 7" in out and dataset.files[0].name in out
 
 
+def test_cli_print_data_bank(tmp_path, capsys):
+    """print-data --bank inspects an external bank without a dataset, and
+    --verify-checksum catches corruption."""
+    import numpy as np
+    import pytest
+
+    from dxvae_tpu.cli import main
+
+    src = "/root/reference/DX_data/SynprezFM/SynprezFM_01.syx"
+    assert main(["print-data", "--bank", src, "--index", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "#0 Params:" in out and "#0 Edges:" in out
+    blob = bytearray(open(src, "rb").read())
+    blob[100] ^= 0x01  # flip a payload bit; stored checksum now mismatches
+    bad = tmp_path / "bad.syx"
+    bad.write_bytes(bytes(blob))
+    assert main(["print-data", "--bank", str(bad)]) == 0  # default: no verify
+    with pytest.raises(ValueError, match="checksum"):
+        main(["print-data", "--bank", str(bad), "--verify-checksum"])
+
+
 def test_cli_search_index_roundtrip(dataset, tmp_path, capsys):
     """A persisted latent index (--save-index / --index-file) reproduces the
     direct corpus-encoding search exactly, provenance included."""

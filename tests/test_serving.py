@@ -262,6 +262,53 @@ def test_http_serving_endpoints(bundle, tmp_path):
         httpd.server_close()
 
 
+def test_http_concurrent_clients(bundle):
+    """Parallel clients hitting mixed routes all succeed and get the same
+    answers as a serial client: the device lock serializes artifact calls
+    per the one-stream contract while the threaded frontend handles the
+    connections (ThreadingHTTPServer)."""
+    import http.client
+    import json
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, _ = bundle
+    httpd = make_server(path)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+
+        def gen(seed):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request("POST", "/v1/generate",
+                             json.dumps({"n": 2, "seed": seed}),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read())
+            finally:
+                conn.close()
+
+        gen(0)  # warm the artifact cache before fanning out
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(gen, [s % 4 for s in range(24)]))
+        assert all(st == 200 for st, _ in results)
+        # determinism under concurrency: same seed -> same patches, and
+        # every concurrent answer equals the serial one
+        by_seed = {}
+        for s, (st, out) in zip([x % 4 for x in range(24)], results):
+            by_seed.setdefault(s, []).append(out)
+        for seed, outs in by_seed.items():
+            serial = gen(seed)[1]
+            for out in outs:
+                assert out == serial
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
 def test_http_search_endpoint(bundle, tmp_path):
     """/v1/search over a loaded latent index: a tensor query returns itself
     at distance ~0 with provenance, a base64 bank query round-trips through
