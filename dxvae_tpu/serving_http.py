@@ -9,7 +9,8 @@ dependencies only, no checkpoint and no model build.
 Endpoints (JSON bodies; arrays as nested lists):
 
 * ``GET  /healthz`` -> ``{ok, bundle_version, dxvae_tpu_version, functions,
-  has_prior}`` — readiness + the bucket table for client-side batching.
+  has_prior, has_search_index, cfg}`` — readiness, the bucket table for
+  client-side batching, and the tensor contract (``cfg.size_z`` etc.).
 * ``POST /v1/generate`` ``{n, seed?, prior?, temperature?, valid_only?,
   format?}`` -> the sampled patches; ``format="syx"`` returns
   ``{syx_base64}``, a 32-voice bank (padded by repeating the last patch,
@@ -47,8 +48,6 @@ def _graph_json(G: GraphBatch) -> dict:
     return {"X": np.asarray(G.X).tolist(),
             "params": np.asarray(G.params).tolist(),
             "adj": np.asarray(G.adj).tolist()}
-
-
 
 
 class _BundleHandler(BaseHTTPRequestHandler):
