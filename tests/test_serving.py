@@ -262,6 +262,17 @@ def test_http_serving_endpoints(bundle, tmp_path):
         httpd.server_close()
 
 
+def test_serve_http_rejects_malformed_address(bundle):
+    """--http validates [HOST]:PORT up front with a friendly error instead
+    of an int() traceback (or silently mis-splitting a colonless host)."""
+    from dxvae_tpu.cli import main
+
+    _, path, _ = bundle
+    for bad in ("127.0.0.1", "localhost", ":", "host:"):
+        with pytest.raises(SystemExit, match="HOST"):
+            main(["serve", "--bundle", str(path), "--http", bad])
+
+
 def test_http_concurrent_clients(bundle):
     """Parallel clients hitting mixed routes all succeed and get the same
     answers as a serial client: the device lock serializes artifact calls
