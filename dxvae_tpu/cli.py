@@ -120,7 +120,13 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
                 pad = 32 - len(win.X)
                 win = GraphBatch(*(np.concatenate(
                     [f, np.repeat(f[-1:], pad, axis=0)]) for f in win))
-            path = out if steps <= 32 else out.replace(".syx", f"_{k}.syx")
+            if steps <= 32:
+                path = out
+            else:
+                from pathlib import Path as _P
+
+                p = _P(out)
+                path = str(p.with_name(f"{p.stem}_{k}{p.suffix or '.syx'}"))
             graph_to_syx(win, path, checksum=checksum)
             print(f"wrote {path}")
     return G_path
@@ -468,14 +474,16 @@ def main(argv=None) -> int:
             return DXDataset(args.raw_dir,
                              include="synprez" if args.synprez_only else None)
 
-        ds = None
+        ds = model = None
         if args.index_file is not None:
             from dxvae_tpu.serving import load_search_index
 
             index = load_search_index(args.index_file)
         else:
             ds = _ds()
-            index = build_search_index(ds, args.checkpoint, cfg.seed)
+            model = _model_for(args.checkpoint, cfg.seed)  # shared with the
+            index = build_search_index(ds, args.checkpoint, cfg.seed,  # query
+                                       model=model)
         if args.save_index is not None:
             np.savez(args.save_index, **index)
             print(f"wrote index {args.save_index} ({len(index['mu'])} patches)")
@@ -487,7 +495,7 @@ def main(argv=None) -> int:
         else:
             q = (ds if ds is not None else _ds())[args.index]
         search_index(index, q, k=args.k, chk=args.checkpoint, seed=cfg.seed,
-                     metric=args.metric)
+                     metric=args.metric, model=model)
     elif args.cmd == "export-serving":
         from dxvae_tpu.serving import export_bundle
 
@@ -504,10 +512,10 @@ def main(argv=None) -> int:
             from dxvae_tpu.serving_http import serve_forever
 
             host, sep, port = args.http.rpartition(":")
-            if not sep or not port.isdigit():
+            if not sep or not port.isdigit() or int(port) > 65535:
                 raise SystemExit(
-                    f"--http expects [HOST]:PORT (e.g. ':8000' or "
-                    f"'0.0.0.0:8000'), got {args.http!r}")
+                    f"--http expects [HOST]:PORT with PORT 0-65535 (e.g. "
+                    f"':8000' or '0.0.0.0:8000'), got {args.http!r}")
             serve_forever(args.bundle, host or "127.0.0.1", int(port),
                           index_path=args.search_index)
             return 0

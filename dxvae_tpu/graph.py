@@ -45,7 +45,8 @@ class GraphBatch(NamedTuple):
         batch, a slice or index array the corresponding sub-batch.  This
         deliberately shadows NamedTuple positional indexing — access the
         fields by name (``.X`` / ``.params`` / ``.adj``)."""
-        if isinstance(idx, int):
+        if isinstance(idx, (int, np.integer)):
+            idx = int(idx)
             idx = slice(idx, idx + 1) if idx != -1 else slice(-1, None)
         if isinstance(idx, slice):
             return GraphBatch(self.X[idx], self.params[idx], self.adj[idx])

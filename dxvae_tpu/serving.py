@@ -227,10 +227,16 @@ class ServedDXVAE:
         if valid_only:
             from dxvae_tpu.data.algorithms import match_algorithm
 
-            # oversample up to 64/round, capped at the largest exported
-            # decode bucket (requests beyond it raise in decode() anyway)
+            # each round decodes at a full bucket: the decode pads up to one
+            # anyway, so snapping m to the executed bucket size makes every
+            # decoded row a candidate (no sliced-away waste); n beyond the
+            # largest bucket keeps m=n so decode() raises its overflow error
             caps = self.manifest["functions"].get("decode", [64])
-            m = min(max(int(n), 64), max(caps[-1], int(n)))
+            want = max(int(n), 64)
+            fit = [b for b in caps if b >= want]
+            m = fit[0] if fit else caps[-1]
+            if int(n) > caps[-1]:
+                m = int(n)
             kept: list[GraphBatch] = []
             n_kept = n_tried = 0
             for r in range(max_rounds):

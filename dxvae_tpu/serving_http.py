@@ -175,24 +175,23 @@ def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
     enables ``/v1/search``; it must live in the same latent space as the
     bundle (same checkpoint — the latent width is checked at startup)."""
     httpd = ThreadingHTTPServer((host, port), _BundleHandler)
-    httpd.model = ServedDXVAE.load(bundle_path)
-    httpd.lock = threading.Lock()
-    httpd.verbose = verbose
-    httpd.index = None
-    if index_path is not None:
-        try:
+    try:  # never leak the bound socket on a failed startup
+        httpd.model = ServedDXVAE.load(bundle_path)
+        httpd.lock = threading.Lock()
+        httpd.verbose = verbose
+        httpd.index = None
+        if index_path is not None:
             httpd.index = load_search_index(index_path)
-        except ValueError:
-            httpd.server_close()
-            raise
-        size_z = httpd.model.manifest["cfg"]["size_z"]
-        got = httpd.index["mu"].shape[1]
-        if got != size_z:
-            httpd.server_close()
-            raise ValueError(
-                f"search index latent width {got} != bundle size_z {size_z} "
-                "— build the index with the same checkpoint the bundle was "
-                "exported from")
+            size_z = httpd.model.manifest["cfg"]["size_z"]
+            got = httpd.index["mu"].shape[1]
+            if got != size_z:
+                raise ValueError(
+                    f"search index latent width {got} != bundle size_z "
+                    f"{size_z} — build the index with the same checkpoint "
+                    "the bundle was exported from")
+    except BaseException:
+        httpd.server_close()
+        raise
     return httpd
 
 

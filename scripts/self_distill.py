@@ -75,8 +75,10 @@ def main():
                       include="synprez")
     full = DXDataset(raw_dir, save_dir="/tmp/dx_distill_cache")
     train_keys = {p.tobytes() for p in train.batch.params}
-    held = full[np.asarray([i for i, p in enumerate(full.batch.params)
-                            if p.tobytes() not in train_keys])]
+    held_idx = np.asarray([i for i, p in enumerate(full.batch.params)
+                           if p.tobytes() not in train_keys], dtype=np.int64)
+    held = full[held_idx] if len(held_idx) else None  # raw dir may be
+    # synprez-only (portable --raw-dir), leaving no held-out bank at all
 
     size_h, size_z = infer_sizes(args.checkpoint)
 
@@ -88,7 +90,10 @@ def main():
     def measure(model, arm):
         model_eval = model  # decode/encode are eval-side already
         rec = {}
-        for split, G in (("train", train.batch), ("held_out", held)):
+        splits = [("train", train.batch)]
+        if held is not None:
+            splits.append(("held_out", held))
+        for split, G in splits:
             R = model_eval.encode_decode(G)
             rec[f"{split}_topo_exact"] = round(float(
                 (G.adj == R.adj).all(axis=(1, 2)).mean()), 4)

@@ -55,6 +55,12 @@ def test_graphbatch_indexing_matches_reference_idiom(G8):
     np.testing.assert_array_equal(last.adj, G8.adj[-1:])
     fancy = G8[np.array([0, 7, 1])]
     np.testing.assert_array_equal(fancy.params, G8.params[[0, 7, 1]])
+    # numpy integer scalars (np.flatnonzero(...)[0], argmax results) honor
+    # the same length-1-batch contract as Python ints
+    np_one = G8[np.int64(3)]
+    assert isinstance(np_one, GraphBatch) and len(np_one) == 1
+    np.testing.assert_array_equal(np_one.X, G8.X[3:4])
+    np.testing.assert_array_equal(G8[np.int32(-1)].adj, G8.adj[-1:])
     # field access stays by name; iteration still unpacks the three arrays
     X, P, A = G8
     np.testing.assert_array_equal(X, G8.X)
