@@ -252,6 +252,16 @@ def test_http_serving_endpoints(bundle, tmp_path):
         assert st == 404
         st, err = rpc("POST", "/v1/generate", {})
         assert st == 400 and "'n'" in err["error"]
+        # malformed bodies: truncated JSON and a non-object both 400 cleanly
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/v1/generate", b'{"n": 3',
+                     {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 400
+        assert "bad request body" in json.loads(r.read())["error"]
+        conn.close()
+        st, err = rpc("POST", "/v1/generate", [1, 2, 3])
+        assert st == 400 and "JSON object" in err["error"]
         st, err = rpc("POST", "/v1/decode",
                       {"z": np.zeros((9, 16)).tolist()})
         assert st == 400 and "bucket" in err["error"]
