@@ -55,9 +55,15 @@ class _KeyStream:
     objects constructed outside a :class:`DXVAE`)."""
 
     def __init__(self, seed: int = 0):
-        self._key = jax.random.PRNGKey(seed)
+        # lazy: creating a PRNGKey initializes the jax backend, and this
+        # stream is built at module import (importing dxvae_tpu.api must not
+        # touch the device — `--help` has to work with the TPU unreachable)
+        self._seed = seed
+        self._key = None
 
     def __call__(self):
+        if self._key is None:
+            self._key = jax.random.PRNGKey(self._seed)
         self._key, sub = jax.random.split(self._key)
         return sub
 

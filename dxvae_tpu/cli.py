@@ -201,10 +201,7 @@ def forward_test(G, chk=None):
     )
 
 
-def main(argv=None) -> int:
-    from dxvae_tpu.utils.profiling import enable_persistent_cache
-
-    enable_persistent_cache()
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="dxvae_tpu", description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -390,8 +387,17 @@ def main(argv=None) -> int:
     )
     sp.add_argument("src")
     sp.add_argument("dst")
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None) -> int:
+    # parse BEFORE touching jax: --help / usage errors must work (and exit
+    # fast) even when the TPU backend is unreachable
+    args = build_parser().parse_args(argv)
+
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()
 
     # resolve knobs for EVERY field: CLI flag > --config file > TrainConfig
     # defaults (checkpoint/raw_dir/seed included — a --config file that sets
