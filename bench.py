@@ -27,10 +27,12 @@ true utilization fraction (docs/PERF.md has the true MFU accounting).
 
 Stall protection: the tunnel can hang a device RPC indefinitely (observed on
 this image), so by default the measurement runs in a supervised child process
-under ``--deadline-s`` (45 min).  On expiry the parent kills the child and
-emits the best completed result ("partial": true); with no completed
-measurement it retries once, then exits 3 with no JSON.  ``--deadline-s 0``
-runs unsupervised.
+under ``--deadline-s`` (45 min).  Each attempt first runs a 5-minute device
+probe (one tiny matmul in a child) so a dead tunnel is diagnosed in minutes
+instead of burning the full deadline.  On deadline expiry the parent kills
+the child and emits the best completed result ("partial": true); with no
+completed measurement it retries once, then exits 3 with no JSON.
+``--deadline-s 0`` runs unsupervised.
 """
 
 from __future__ import annotations
@@ -46,6 +48,24 @@ import time
 import numpy as np
 
 
+def _probe_device(argv: list[str], timeout_s: float) -> bool:
+    """Cheap child-process liveness check: one tiny matmul + scalar readback.
+
+    A downed tunnel hangs the FIRST device call forever, so without this the
+    supervisor burns the full --deadline-s per attempt before concluding the
+    device is unreachable (observed: multi-hour tunnel outages on this
+    image).  ~15 s when healthy; killed at ``timeout_s`` when not."""
+    cpu = ["--cpu"] if "--cpu" in argv else []
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--probe-device", *cpu])
+    try:
+        return child.wait(timeout=timeout_s) == 0
+    except subprocess.TimeoutExpired:
+        child.kill()
+        child.wait()
+        return False
+
+
 def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
     """Run the measurement in a child process with a hard deadline.
 
@@ -59,6 +79,13 @@ def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
     pure passthrough — the emitted JSON is identical to an unsupervised run.
     """
     for attempt in range(retries + 1):
+        probe_s = min(300.0, deadline_s)
+        if not _probe_device(argv, probe_s):
+            print(f"# WARNING: device probe did not complete in {probe_s:.0f}s "
+                  f"(tunnel down?); attempt {attempt + 1}/{retries + 1}",
+                  file=sys.stderr)
+            time.sleep(min(60.0, deadline_s))
+            continue
         with tempfile.NamedTemporaryFile("r", suffix=".jsonl", delete=False) as pf:
             progress_path = pf.name
         child = subprocess.Popen(
@@ -147,7 +174,19 @@ def main() -> int:
                     help="force the CPU backend (dev/test; the env-pinned "
                          "platform cannot be overridden by env vars)")
     ap.add_argument("--progress-file", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--probe-device", action="store_true", help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.probe_device:
+        import jax
+
+        if args.cpu:
+            jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+
+        x = jnp.ones((128, 128))
+        print("# probe ok", float((x @ x).sum()), file=sys.stderr)
+        return 0
 
     if args.deadline_s > 0 and args.progress_file is None:
         argv = [a for a in sys.argv[1:]]
