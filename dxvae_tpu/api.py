@@ -44,7 +44,7 @@ from dxvae_tpu.models.prior import (
     sample_gmm,
     save_prior as _save_prior_file,
 )
-from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings
+from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_optimizer, make_train_step
 from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
 from dxvae_tpu.utils.metrics import MetricsLogger
@@ -465,6 +465,20 @@ class DXVAE:
             )
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         sharding = batch_sharding(mesh)
+        multiprocess = jax.process_count() > 1
+        if multiprocess:
+            # multi-host SPMD (parallel/distributed.py): every process runs
+            # this same loop over the GLOBAL mesh.  device_put with a global
+            # sharding is valid because every process feeds the identical
+            # host batch (same dataset + same shuffle seed).
+            if n_model > 1:
+                raise NotImplementedError(
+                    "n_model > 1 across processes: saving tensor-parallel "
+                    "checkpoints needs a cross-host gather (orbax); shard "
+                    "the model axis within one host or use n_model=1")
+            # the freshly-initialized state lives on process-local devices;
+            # jit may not mix local and global arrays — promote it once
+            state = jax.device_put(state, replicated(mesh))
         if n_model > 1:
             # tensor-parallel weights: place params on their 2D shardings and
             # re-init the optimizer so the AdamW moments inherit them (the
@@ -472,7 +486,9 @@ class DXVAE:
             p_sh = param_shardings(mesh, state.params)
             params_sh = jax.device_put(state.params, p_sh)
             state = state._replace(params=params_sh, opt_state=optimizer.init(params_sh))
-        log = MetricsLogger(metrics_csv, append=metrics_append)
+        primary = not multiprocess or jax.process_index() == 0
+        log = MetricsLogger(metrics_csv if primary else None,
+                            stdout=primary, append=metrics_append)
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
 
         total_epochs = epochs + 1 if extra_epoch else epochs
@@ -491,7 +507,13 @@ class DXVAE:
                 bx = jax.device_put(X_all[idx], sharding)
                 bp = jax.device_put(P_all[idx], sharding)
                 ba = jax.device_put(A_all[idx], sharding)
-                state, metrics = step_fn(state, bx, bp, ba, self._next_key())
+                key = self._next_key()
+                if multiprocess:
+                    # a locally-created key array may not mix with global jit
+                    # args; as numpy it auto-promotes to a replicated global
+                    # (identical on every process by construction)
+                    key = np.asarray(key)
+                state, metrics = step_fn(state, bx, bp, ba, key)
                 pending.append(metrics)
             # scalar sync BEFORE reading the clock: the steps above only
             # enqueued work (and block_until_ready does not block on the
@@ -508,11 +530,12 @@ class DXVAE:
             # instead of silently overwriting the good checkpoint
             if not np.isfinite(last):
                 crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
-                save_checkpoint(crash, state)
+                if primary:
+                    save_checkpoint(crash, state)
                 raise FloatingPointError(
                     f"non-finite loss {last} at epoch {epoch}; state saved to {crash}"
                 )
-            if checkpoint is not None and (
+            if primary and checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
             ):
                 # NOTE: self.params is only re-bound after the loop —

@@ -239,6 +239,17 @@ def build_parser() -> argparse.ArgumentParser:
                                  "MLP heads over the 'model' axis (default: 1)")
             sp.add_argument("--no-extra-epoch", action="store_true",
                             help="drop the reference's range(epochs+1) off-by-one")
+            sp.add_argument("--distributed", action="store_true",
+                            help="multi-host: join the jax distributed "
+                                 "runtime (auto-detected on TPU pods; one "
+                                 "process per host, checkpoints/metrics "
+                                 "written by rank 0 only)")
+            sp.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                            help="off-pod coordinator address (implies "
+                                 "--distributed; also pass --num-processes "
+                                 "and --process-id)")
+            sp.add_argument("--num-processes", type=int, default=None)
+            sp.add_argument("--process-id", type=int, default=None)
 
     common(sub.add_parser("train-new", help="train from scratch (main.py:12)"), train=True)
     common(sub.add_parser("train-on", help="resume from checkpoint (main.py:18)"), train=True)
@@ -394,6 +405,12 @@ def main(argv=None) -> int:
     # parse BEFORE touching jax: --help / usage errors must work (and exit
     # fast) even when the TPU backend is unreachable
     args = build_parser().parse_args(argv)
+
+    if getattr(args, "distributed", False) or getattr(args, "coordinator", None):
+        # must happen before anything initializes the backend
+        from dxvae_tpu.parallel.distributed import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
 
     from dxvae_tpu.utils.profiling import enable_persistent_cache
 

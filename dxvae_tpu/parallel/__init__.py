@@ -7,6 +7,7 @@ over a ``jax.sharding.Mesh`` with the batch sharded on the ``data`` axis and
 inserts the gradient all-reduces / weight all-gathers as collectives over ICI.
 """
 
+from dxvae_tpu.parallel.distributed import init_distributed, is_primary
 from dxvae_tpu.parallel.mesh import make_mesh, batch_sharding, param_shardings
 from dxvae_tpu.parallel.train import (
     TrainState,
@@ -16,6 +17,8 @@ from dxvae_tpu.parallel.train import (
 )
 
 __all__ = [
+    "init_distributed",
+    "is_primary",
     "make_mesh",
     "batch_sharding",
     "param_shardings",

@@ -1,0 +1,49 @@
+"""One process of the multi-process training test (tests/test_distributed.py).
+
+Not a test module — launched N times as a subprocess, each instance owning 4
+virtual CPU devices; together they form one global 4N-device jax runtime over
+a local gloo coordinator and run the REAL DXVAE.train loop SPMD.
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
+
+
+def main() -> int:
+    coord, nproc, pid, workdir, raw_dir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 4)
+
+    from dxvae_tpu.parallel.distributed import init_distributed, is_primary, process_count
+
+    init_distributed(coord, nproc, pid)
+    assert process_count() == nproc
+    assert jax.device_count() == 4 * nproc, jax.device_count()
+    assert len(jax.local_devices()) == 4
+
+    from dxvae_tpu.api import DXVAE
+    from dxvae_tpu.data.dataset import DXDataset
+
+    G = DXDataset(raw_dir, save_dir=f"{workdir}/cache{pid}",
+                  include="synprez").batch[:64]
+
+    model = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+    model.train(
+        G, epochs=2, size_batch=32, lr=1e-3,
+        checkpoint=f"{workdir}/dist.npz",       # written by the primary only
+        metrics_csv=f"{workdir}/dist.csv",      # likewise
+        extra_epoch=False, shuffle_seed=7,
+    )
+    if is_primary():
+        print("PRIMARY_DONE", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

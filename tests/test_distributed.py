@@ -1,0 +1,80 @@
+"""Multi-process (multi-host) training: 2 processes x 4 virtual CPU devices
+run the real DXVAE.train SPMD over a global 8-device mesh with gloo
+collectives, and must match the single-process 8-device run bit-for-bit up
+to collective reduction order.
+
+This is the TPU-pod execution shape (one process per host), which the
+single-process suite cannot cover: cross-process gradient all-reduce,
+global-sharding device_put from identical host batches, primary-only
+checkpoint/metrics writes.  See dxvae_tpu/parallel/distributed.py.
+"""
+
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+RAW = "/root/reference/DX_data"
+
+
+def free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_training_matches_single_process(tmp_path):
+    port = free_port()
+    workers = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "dist_worker.py"),
+             f"127.0.0.1:{port}", "2", str(pid), str(tmp_path), RAW],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for w in workers:
+            out, err = w.communicate(timeout=780)
+            outs.append((w.returncode, out, err))
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+    for rc, out, err in outs:
+        assert rc == 0, (out[-2000:], err[-4000:])
+    assert any("PRIMARY_DONE" in out for rc, out, err in outs)
+
+    # the primary-only write contract: exactly one process produced files
+    ckpt = tmp_path / "dist.npz"
+    assert ckpt.exists() and (tmp_path / "dist.csv").exists()
+
+    # single-process baseline on the same 8 (virtual) devices, same seeds
+    from dxvae_tpu.api import DXVAE
+    from dxvae_tpu.data.dataset import DXDataset
+    from dxvae_tpu.utils.checkpoint import load_checkpoint
+
+    # the exact data slice the workers trained on (same subset, same order)
+    G = DXDataset(RAW, save_dir=tmp_path / "cache_base",
+                  include="synprez").batch[:64]
+    model = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+    model.train(G, epochs=2, size_batch=32, lr=1e-3,
+                extra_epoch=False, shuffle_seed=7)
+
+    import jax
+
+    ref = jax.tree.map(np.asarray, model.params)
+    got = load_checkpoint(ckpt, ref)
+    leaves_ref = jax.tree.leaves(ref)
+    leaves_got = jax.tree.leaves(jax.tree.map(np.asarray, got))
+    assert len(leaves_ref) == len(leaves_got)
+    for a, b in zip(leaves_ref, leaves_got):
+        # gloo's cross-process all-reduce may associate differently from
+        # XLA's single-process reduction; tolerance covers f32 order effects
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
