@@ -84,7 +84,8 @@ def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
             print(f"# WARNING: device probe did not complete in {probe_s:.0f}s "
                   f"(tunnel down?); attempt {attempt + 1}/{retries + 1}",
                   file=sys.stderr)
-            time.sleep(min(60.0, deadline_s))
+            if attempt < retries:  # no point sleeping before the final exit
+                time.sleep(min(60.0, deadline_s))
             continue
         with tempfile.NamedTemporaryFile("r", suffix=".jsonl", delete=False) as pf:
             progress_path = pf.name

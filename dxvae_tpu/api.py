@@ -44,6 +44,7 @@ from dxvae_tpu.models.prior import (
     sample_gmm,
     save_prior as _save_prior_file,
 )
+from dxvae_tpu.parallel.distributed import is_primary
 from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
 from dxvae_tpu.parallel.train import TrainState, init_train_state, make_optimizer, make_train_step
 from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
@@ -437,16 +438,6 @@ class DXVAE:
                 "epoch (the remainder is dropped, matching the reference); lower size_batch"
             )
 
-        optimizer = make_optimizer(lr)
-        # copy the weights into the train state: step_fn donates its state
-        # argument, and donating self.params directly would leave the model
-        # holding deleted buffers if training aborts (or is re-entered)
-        state = init_train_state(
-            self._next_key(), optimizer, self.cfg,
-            params=jax.tree.map(jnp.copy, self.params),
-        )
-        step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
-
         if n_model < 1 or len(jax.devices()) < n_model:
             raise ValueError(
                 f"n_model={n_model} needs that many devices (have {len(jax.devices())})"
@@ -463,9 +454,32 @@ class DXVAE:
                 f"size_batch={size_batch} is not divisible by the data-parallel mesh "
                 f"size n_data={n_data}; pick a divisor (or n_data=1)"
             )
+        multiprocess = jax.process_count() > 1
+        if multiprocess and n_data * n_model != len(jax.devices()):
+            # every process runs the same SPMD program: a mesh that skips a
+            # host's devices leaves that host unable to address its shards
+            # (it errors while the others block in the collective)
+            raise ValueError(
+                f"multi-process training needs the mesh to span all "
+                f"{len(jax.devices())} global devices, got n_data={n_data} x "
+                f"n_model={n_model}; pick size_batch divisible by the global "
+                f"data-parallel size"
+            )
+        # validation above consumes nothing; only from here on does the call
+        # advance the model's key stream (a rejected call must leave the
+        # stream untouched so a retry reproduces the no-failed-call run)
+        optimizer = make_optimizer(lr)
+        # copy the weights into the train state: step_fn donates its state
+        # argument, and donating self.params directly would leave the model
+        # holding deleted buffers if training aborts (or is re-entered)
+        state = init_train_state(
+            self._next_key(), optimizer, self.cfg,
+            params=jax.tree.map(jnp.copy, self.params),
+        )
+        step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
+
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         sharding = batch_sharding(mesh)
-        multiprocess = jax.process_count() > 1
         if multiprocess:
             # multi-host SPMD (parallel/distributed.py): every process runs
             # this same loop over the GLOBAL mesh.  device_put with a global
@@ -486,7 +500,7 @@ class DXVAE:
             p_sh = param_shardings(mesh, state.params)
             params_sh = jax.device_put(state.params, p_sh)
             state = state._replace(params=params_sh, opt_state=optimizer.init(params_sh))
-        primary = not multiprocess or jax.process_index() == 0
+        primary = is_primary()
         log = MetricsLogger(metrics_csv if primary else None,
                             stdout=primary, append=metrics_append)
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
@@ -499,6 +513,15 @@ class DXVAE:
         for epoch in range(total_epochs):
             log.epoch(epoch)
             perm = rng.permutation(n_samples)
+            if multiprocess:
+                # locally-created key arrays may not mix with global jit args;
+                # as numpy they auto-promote to replicated globals (identical
+                # on every process by construction).  Read the whole epoch's
+                # keys back in ONE transfer — a per-step np.asarray would put
+                # a blocking host<->device sync (~29 ms on this image) on the
+                # critical path of every step
+                epoch_keys = np.asarray(
+                    jnp.stack([self._next_key() for _ in range(n_iters)]))
             pending = []  # device metrics; synced once per epoch so steps
             # enqueue asynchronously (host<->device latency is off the path)
             t0 = time.perf_counter()
@@ -507,12 +530,7 @@ class DXVAE:
                 bx = jax.device_put(X_all[idx], sharding)
                 bp = jax.device_put(P_all[idx], sharding)
                 ba = jax.device_put(A_all[idx], sharding)
-                key = self._next_key()
-                if multiprocess:
-                    # a locally-created key array may not mix with global jit
-                    # args; as numpy it auto-promotes to a replicated global
-                    # (identical on every process by construction)
-                    key = np.asarray(key)
+                key = epoch_keys[i] if multiprocess else self._next_key()
                 state, metrics = step_fn(state, bx, bp, ba, key)
                 pending.append(metrics)
             # scalar sync BEFORE reading the clock: the steps above only
@@ -532,8 +550,11 @@ class DXVAE:
                 crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
                 if primary:
                     save_checkpoint(crash, state)
+                    where = f"state saved to {crash}"
+                else:
+                    where = f"state saved to {crash} on the primary process (rank 0)"
                 raise FloatingPointError(
-                    f"non-finite loss {last} at epoch {epoch}; state saved to {crash}"
+                    f"non-finite loss {last} at epoch {epoch}; {where}"
                 )
             if primary and checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1

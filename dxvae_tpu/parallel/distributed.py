@@ -42,20 +42,19 @@ def init_distributed(
     On a real TPU pod slice every argument is auto-detected from the TPU
     metadata — call with no arguments on each host.  Off-pod (tests, CPU
     clusters) pass the coordinator's ``host:port``, the world size, and
-    this process's rank.  Idempotent: a second call is a no-op (jax raises
-    if re-initialized with different values; we swallow the already-
-    initialized case so library and CLI init can coexist).
+    this process's rank.  Idempotent: a second call is a no-op, so library
+    and CLI init can coexist (jax itself raises "should only be called
+    once" on re-entry — we guard with is_initialized() instead of parsing
+    that message).
     """
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator_address,
-            num_processes=num_processes,
-            process_id=process_id,
-            local_device_ids=local_device_ids,
-        )
-    except RuntimeError as e:  # already initialized (same-config re-entry)
-        if "already initialized" not in str(e).lower():
-            raise
+    if jax.distributed.is_initialized():
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+        local_device_ids=local_device_ids,
+    )
 
 
 def process_count() -> int:

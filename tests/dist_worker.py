@@ -23,6 +23,7 @@ def main() -> int:
     from dxvae_tpu.parallel.distributed import init_distributed, is_primary, process_count
 
     init_distributed(coord, nproc, pid)
+    init_distributed(coord, nproc, pid)  # documented contract: re-entry no-ops
     assert process_count() == nproc
     assert jax.device_count() == 4 * nproc, jax.device_count()
     assert len(jax.local_devices()) == 4
@@ -34,6 +35,16 @@ def main() -> int:
                   include="synprez").batch[:64]
 
     model = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+
+    # mesh-span guard: size_batch=34 auto-shrinks n_data to 2 of 8 global
+    # devices, which would strand the other host's devices — every rank must
+    # get the same loud ValueError instead of a collective deadlock
+    try:
+        model.train(G, epochs=1, size_batch=34, extra_epoch=False)
+    except ValueError as e:
+        assert "span all" in str(e), e
+    else:
+        raise AssertionError("mesh-span guard did not fire")
     model.train(
         G, epochs=2, size_batch=32, lr=1e-3,
         checkpoint=f"{workdir}/dist.npz",       # written by the primary only

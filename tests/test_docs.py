@@ -116,7 +116,9 @@ def test_importing_api_does_not_initialize_backend():
         "from jax._src import xla_bridge\n"
         "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
     )
-    subprocess.run([sys.executable, "-c", code], check=True, timeout=300)
+    import pathlib
+    repo = str(pathlib.Path(__file__).parent.parent)
+    subprocess.run([sys.executable, "-c", code], check=True, timeout=300, cwd=repo)
 
 
 def test_api_md_exists_and_mentions_every_subcommand():
