@@ -485,11 +485,6 @@ class DXVAE:
             # this same loop over the GLOBAL mesh.  device_put with a global
             # sharding is valid because every process feeds the identical
             # host batch (same dataset + same shuffle seed).
-            if n_model > 1:
-                raise NotImplementedError(
-                    "n_model > 1 across processes: saving tensor-parallel "
-                    "checkpoints needs a cross-host gather (orbax); shard "
-                    "the model axis within one host or use n_model=1")
             # the freshly-initialized state lives on process-local devices;
             # jit may not mix local and global arrays — promote it once
             state = jax.device_put(state, replicated(mesh))
@@ -501,6 +496,15 @@ class DXVAE:
             params_sh = jax.device_put(state.params, p_sh)
             state = state._replace(params=params_sh, opt_state=optimizer.init(params_sh))
         primary = is_primary()
+        if multiprocess and n_model > 1:
+            # tensor-parallel shards live on OTHER hosts' devices, which the
+            # primary cannot read for the npz write — all-gather the state to
+            # a replicated layout first.  A collective: every rank must call
+            # it (so it runs outside the `if primary` guards below).  Defined
+            # once so each epoch's save reuses the compiled gather.
+            _gather = jax.jit(lambda s: s, out_shardings=replicated(mesh))
+        else:
+            _gather = lambda s: s  # shards already addressable locally
         log = MetricsLogger(metrics_csv if primary else None,
                             stdout=primary, append=metrics_append)
         rng = np.random.default_rng(self._host_seed() if shuffle_seed is None else shuffle_seed)
@@ -547,24 +551,33 @@ class DXVAE:
             # corruption — snapshot state for diagnosis and abort loudly
             # instead of silently overwriting the good checkpoint
             if not np.isfinite(last):
+                # the loss scalar is replicated, so every rank agrees and
+                # every rank reaches the (collective) gather before the raise
                 crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
+                crash_state = _gather(state)
                 if primary:
-                    save_checkpoint(crash, state)
+                    save_checkpoint(crash, crash_state)
                     where = f"state saved to {crash}"
                 else:
                     where = f"state saved to {crash} on the primary process (rank 0)"
                 raise FloatingPointError(
                     f"non-finite loss {last} at epoch {epoch}; {where}"
                 )
-            if primary and checkpoint is not None and (
+            if checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
             ):
                 # NOTE: self.params is only re-bound after the loop —
                 # state.params buffers are donated to the next step, so
                 # binding them mid-loop would leave the model holding
                 # deleted arrays once that step runs
-                save_checkpoint(checkpoint, state)
-                log.checkpoint_saved(checkpoint)
+                ckpt_state = _gather(state)  # collective: outside `if primary`
+                if primary:
+                    save_checkpoint(checkpoint, ckpt_state)
+                    log.checkpoint_saved(checkpoint)
+        if multiprocess and n_model > 1:
+            # bind fully-replicated weights so post-train model.save()/forward
+            # see locally-addressable values on every host
+            state = _gather(state)
         self.params = state.params
         self._trained_steps = step_base + total_epochs * n_iters
         log.finished()

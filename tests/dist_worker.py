@@ -14,6 +14,7 @@ sys.path.insert(0, str(Path(__file__).parent.parent))  # repo root
 def main() -> int:
     coord, nproc, pid, workdir, raw_dir = (
         sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4], sys.argv[5])
+    n_model = int(sys.argv[6]) if len(sys.argv) > 6 else 1
 
     import jax
 
@@ -36,21 +37,29 @@ def main() -> int:
 
     model = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
 
-    # mesh-span guard: size_batch=34 auto-shrinks n_data to 2 of 8 global
-    # devices, which would strand the other host's devices — every rank must
-    # get the same loud ValueError instead of a collective deadlock
-    try:
-        model.train(G, epochs=1, size_batch=34, extra_epoch=False)
-    except ValueError as e:
-        assert "span all" in str(e), e
-    else:
-        raise AssertionError("mesh-span guard did not fire")
+    if n_model == 1:
+        # mesh-span guard: size_batch=34 auto-shrinks n_data to 2 of 8 global
+        # devices, which would strand the other host's devices — every rank
+        # must get the same loud ValueError instead of a collective deadlock
+        try:
+            model.train(G, epochs=1, size_batch=34, extra_epoch=False)
+        except ValueError as e:
+            assert "span all" in str(e), e
+        else:
+            raise AssertionError("mesh-span guard did not fire")
     model.train(
-        G, epochs=2, size_batch=32, lr=1e-3,
+        G, epochs=2, size_batch=32, lr=1e-3, n_model=n_model,
         checkpoint=f"{workdir}/dist.npz",       # written by the primary only
         metrics_csv=f"{workdir}/dist.csv",      # likewise
         extra_epoch=False, shuffle_seed=7,
     )
+    if n_model > 1:
+        # the post-train binding must be fully replicated so every host can
+        # read the weights (model.save / forward after a TP pod run)
+        import numpy as np
+        leaf = jax.tree.leaves(model.params)[0]
+        assert leaf.sharding.is_fully_replicated, leaf.sharding
+        assert np.isfinite(np.asarray(leaf)).all()
     if is_primary():
         print("PRIMARY_DONE", flush=True)
     return 0

@@ -27,12 +27,17 @@ def free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_training_matches_single_process(tmp_path):
+@pytest.mark.parametrize("n_model", [1, 2], ids=["dp8", "dp4xtp2"])
+def test_two_process_training_matches_single_process(tmp_path, n_model):
+    """n_model=1: pure data-parallel pod shape.  n_model=2: tensor-parallel
+    head shardings spanning the 2-process global mesh — exercises the
+    all-gather-before-checkpoint path (shards the primary cannot address)."""
     port = free_port()
     workers = [
         subprocess.Popen(
             [sys.executable, str(REPO / "tests" / "dist_worker.py"),
-             f"127.0.0.1:{port}", "2", str(pid), str(tmp_path), RAW],
+             f"127.0.0.1:{port}", "2", str(pid), str(tmp_path), RAW,
+             str(n_model)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=str(REPO),
         )
