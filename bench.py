@@ -31,7 +31,8 @@ under ``--deadline-s`` (45 min).  Each attempt first runs a 5-minute device
 probe (one tiny matmul in a child) so a dead tunnel is diagnosed in minutes
 instead of burning the full deadline.  On deadline expiry the parent kills
 the child and emits the best completed result ("partial": true); with no
-completed measurement it retries once, then exits 3 with no JSON.
+completed measurement it retries once, then exits 3 after emitting a
+value-null record whose "error" field explains the outage.
 ``--deadline-s 0`` runs unsupervised.
 """
 
@@ -66,7 +67,8 @@ def _probe_device(argv: list[str], timeout_s: float) -> bool:
         return False
 
 
-def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
+def _supervise(argv: list[str], deadline_s: float, retries: int,
+               batch: int = 1024, mode: str = "roundtrip") -> int:
     """Run the measurement in a child process with a hard deadline.
 
     The execution tunnel can stall a device RPC indefinitely (observed on
@@ -138,6 +140,20 @@ def _supervise(argv: list[str], deadline_s: float, retries: int) -> int:
         print(f"# WARNING: deadline {deadline_s:.0f}s hit with no completed "
               f"measurement (tunnel stall?); attempt {attempt + 1}/{retries + 1}",
               file=sys.stderr)
+    # no measurement possible: still emit ONE self-explanatory JSON line so
+    # the recorded artifact says WHY there is no number (a dead tunnel is an
+    # environment outage, not a code regression) instead of being empty
+    suffix = {"roundtrip": "encode_decode", "encode": "encode_only",
+              "decode": "decode_only"}[mode]
+    print(json.dumps({
+        "metric": f"patches_per_sec_{suffix}_b{batch}",
+        "value": None,
+        "unit": "patches/sec",
+        "vs_baseline": None,
+        "error": f"device unreachable: probe/measurement incomplete after "
+                 f"{retries + 1} attempts (deadline {deadline_s:.0f}s each); "
+                 "see the previous BENCH_r*.json for the last measured value",
+    }))
     return 3
 
 
@@ -192,7 +208,7 @@ def main() -> int:
     if args.deadline_s > 0 and args.progress_file is None:
         argv = [a for a in sys.argv[1:]]
         return _supervise(argv + ["--deadline-s", "0"], args.deadline_s,
-                          max(0, args.retries))
+                          max(0, args.retries), batch=args.batch, mode=args.mode)
 
     def progress(obj) -> None:
         if args.progress_file:

@@ -37,9 +37,15 @@ def test_deadline_with_no_measurement_fails_cleanly():
         capture_output=True, text=True, cwd="/root/repo", timeout=120,
     )
     assert r.returncode == 3
-    assert not any(l.startswith("{") for l in r.stdout.splitlines())
     # a 2 s deadline dies at the device probe (the fast-fail path for a dead
     # tunnel); a deadline long enough for the probe but not the measurement
-    # dies with "no completed measurement" — both must exit 3 with no JSON
+    # dies with "no completed measurement" — both must exit 3
     assert ("device probe did not complete" in r.stderr
             or "no completed measurement" in r.stderr)
+    # ... and emit ONE self-explanatory record (value null + error) so the
+    # round artifact explains the outage instead of being empty
+    line = next(l for l in r.stdout.splitlines() if l.startswith("{"))
+    rec = json.loads(line)
+    assert rec["value"] is None and rec["vs_baseline"] is None
+    assert rec["metric"] == "patches_per_sec_encode_decode_b32"
+    assert "device unreachable" in rec["error"]
