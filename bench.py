@@ -48,6 +48,11 @@ import time
 
 import numpy as np
 
+# --mode -> metric-name suffix; single source for the clean, partial, and
+# error records so the artifact naming can never diverge between paths
+MODE_SUFFIX = {"roundtrip": "encode_decode", "encode": "encode_only",
+               "decode": "decode_only"}
+
 
 def _probe_device(argv: list[str], timeout_s: float) -> bool:
     """Cheap child-process liveness check: one tiny matmul + scalar readback.
@@ -122,8 +127,7 @@ def _supervise(argv: list[str], deadline_s: float, retries: int,
             per_iter = estimates[len(estimates) // 2]
             n = next((l["batch"] for l in lines if "batch" in l), None)
             mode = next((l["mode"] for l in lines if "mode" in l), "roundtrip")
-            suffix = {"roundtrip": "encode_decode", "encode": "encode_only",
-                      "decode": "decode_only"}[mode]
+            suffix = MODE_SUFFIX[mode]
             print(json.dumps({
                 "metric": f"patches_per_sec_{suffix}_b{n}",
                 "value": round(n / per_iter, 1),
@@ -143,8 +147,7 @@ def _supervise(argv: list[str], deadline_s: float, retries: int,
     # no measurement possible: still emit ONE self-explanatory JSON line so
     # the recorded artifact says WHY there is no number (a dead tunnel is an
     # environment outage, not a code regression) instead of being empty
-    suffix = {"roundtrip": "encode_decode", "encode": "encode_only",
-              "decode": "decode_only"}[mode]
+    suffix = MODE_SUFFIX[mode]
     print(json.dumps({
         "metric": f"patches_per_sec_{suffix}_b{batch}",
         "value": None,
@@ -318,11 +321,8 @@ def main() -> int:
         )
     pps = n / per_iter
 
-    metric = {
-        "roundtrip": f"patches_per_sec_encode_decode_b{n}",  # b1024 = driver contract
-        "encode": f"patches_per_sec_encode_only_b{n}",
-        "decode": f"patches_per_sec_decode_only_b{n}",
-    }[args.mode]
+    # b1024 roundtrip = driver contract
+    metric = f"patches_per_sec_{MODE_SUFFIX[args.mode]}_b{n}"
     # vs_baseline only exists for the headline roundtrip at batch 1024 (the
     # 50k target is defined for that workload); split modes / other batches
     # report null rather than a meaningless ratio

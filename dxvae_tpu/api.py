@@ -552,9 +552,13 @@ class DXVAE:
             # instead of silently overwriting the good checkpoint
             if not np.isfinite(last):
                 # the loss scalar is replicated, so every rank agrees and
-                # every rank reaches the (collective) gather before the raise
+                # every rank reaches the (collective) gather before the raise.
+                # block until the gather COMPLETES on this rank: a non-primary
+                # process that raised (and began interpreter shutdown) with
+                # the collective merely dispatched could abort it under the
+                # primary while it writes the snapshot
                 crash = (checkpoint or "train") + f".diverged_epoch{epoch}.npz"
-                crash_state = _gather(state)
+                crash_state = jax.block_until_ready(_gather(state))
                 if primary:
                     save_checkpoint(crash, crash_state)
                     where = f"state saved to {crash}"
