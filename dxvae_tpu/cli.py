@@ -391,6 +391,20 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--index", type=int, default=12,
                     help="dataset patch for --op roundtrip")
     sp = sub.add_parser(
+        "doctor",
+        help="environment diagnosis: device reachability (probed in a child "
+             "process, so a dead tunnel/driver cannot hang the check), "
+             "compile cache, data, dataset-cache writability, native codec, "
+             "checkpoints.  Exit 0 = healthy (beyond-reference)")
+    sp.add_argument("--raw-dir", default=None)
+    sp.add_argument("--probe-timeout", type=float, default=90.0, metavar="S",
+                    help="seconds before the device probe is declared dead "
+                         "(default 90; a healthy first call takes ~15s)")
+    sp.add_argument("--cpu", action="store_true",
+                    help="probe the CPU backend instead of the default device")
+    sp.add_argument("--json", action="store_true",
+                    help="machine-readable single-line report")
+    sp = sub.add_parser(
         "convert-checkpoint",
         help="convert between our .npz and the reference's torch .chk "
              "state_dict (direction inferred from the source extension; "
@@ -405,6 +419,13 @@ def main(argv=None) -> int:
     # parse BEFORE touching jax: --help / usage errors must work (and exit
     # fast) even when the TPU backend is unreachable
     args = build_parser().parse_args(argv)
+
+    if args.cmd == "doctor":
+        # dispatched before ANYTHING touches the jax backend: doctor must
+        # report an unreachable device, not hang on it
+        from dxvae_tpu.utils.doctor import main_doctor
+
+        return main_doctor(args.raw_dir, args.probe_timeout, args.cpu, args.json)
 
     if getattr(args, "distributed", False) or getattr(args, "coordinator", None):
         # must happen before anything initializes the backend

@@ -56,7 +56,10 @@ def timeit(fn, *args, warmup: int = 2, repeats: int = 5) -> dict:
     }
 
 
-def enable_persistent_cache(path: str = "/tmp/dxvae_xla_cache") -> bool:
+CACHE_DIR = "/tmp/dxvae_xla_cache"  # default persistent-compile-cache path
+
+
+def enable_persistent_cache(path: str = CACHE_DIR) -> bool:
     """Enable JAX's persistent compilation cache (cross-process): first
     compiles of the big unrolled programs drop from minutes to seconds on
     re-runs.  Must be called before any JAX computation; returns False if the

@@ -486,3 +486,34 @@ def test_api_default_is_peak_path(model):
 
     assert model.cfg.unroll is True
     assert DXVAEConfig().unroll is False
+
+
+def test_cli_doctor(tmp_path):
+    """doctor: healthy CPU probe exits 0 with machine-readable checks; a
+    too-short probe window reports the device unreachable (the dead-tunnel
+    path) and exits 1 — in bounded time, never hanging on the device."""
+    import json
+
+    r = subprocess.run(
+        [sys.executable, "-m", "dxvae_tpu.cli", "doctor", "--cpu", "--json",
+         "--raw-dir", "/root/reference/DX_data"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    rep = json.loads(next(l for l in r.stdout.splitlines() if l.startswith("{")))
+    assert rep["ok"] is True
+    by_name = {c["check"]: c for c in rep["checks"]}
+    assert by_name["device"]["ok"] and "cpu" in by_name["device"]["detail"]
+    assert "33 .syx banks" in by_name["data"]["detail"]
+    assert {"versions", "compile_cache", "dataset_cache", "native_codec",
+            "checkpoints"} <= set(by_name)
+
+    # unreachable-device path: 0.2s is too short even for a healthy backend's
+    # first call, so this is deterministic whatever the tunnel state
+    r = subprocess.run(
+        [sys.executable, "-m", "dxvae_tpu.cli", "doctor",
+         "--probe-timeout", "0.2", "--raw-dir", "/root/reference/DX_data"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 1
+    assert "device unreachable" in r.stdout and "FAILED: device" in r.stdout
