@@ -26,7 +26,6 @@ from dxvae_tpu.data.dataset import DXDataset  # noqa: F401  (re-export)
 from dxvae_tpu.data.sysex import params_to_syx_file
 from dxvae_tpu.graph import GraphBatch
 from dxvae_tpu.data.algorithms import ALGO_ADJ
-from dxvae_tpu.data.algorithms import match_algorithm as _match_algorithm
 from dxvae_tpu.data.algorithms import project_topology as _project_topology
 from dxvae_tpu.models import (
     DXVAEConfig,
@@ -201,7 +200,7 @@ class DXVAE:
     def load(self, checkpoint: str) -> None:
         """Load weights from our .npz or a reference torch .chk state_dict."""
         path = Path(checkpoint)
-        if path.suffix == ".npz" or path.name.endswith(".chk.npz"):
+        if path.suffix == ".npz":
             self.params = load_checkpoint(path, self.params)
         else:
             import torch
@@ -307,30 +306,16 @@ class DXVAE:
                     "valid_only rejection-samples already-valid decodes; it "
                     "is mutually exclusive with project_topology/alg (which "
                     "force validity by construction)")
+            from dxvae_tpu.data.algorithms import rejection_sample_valid
+
             m = max(int(n), 64)  # fixed round size -> one compiled decode
-            kept: list[GraphBatch] = []
-            n_kept = n_tried = 0
-            for _ in range(max_rounds):
-                G = self.generate(m, prior=prior, temperature=temperature)
-                match = _match_algorithm(G.adj)
-                sel = np.flatnonzero(match >= 0)
-                n_tried += m
-                if len(sel):
-                    sub = G[sel]
-                    P = sub.params.copy()
-                    P[:, 0, 18] = match[sel].astype(P.dtype)
-                    # NOT sub._replace(): GraphBatch.__len__ is the batch
-                    # size, which trips namedtuple._make's arity check
-                    kept.append(GraphBatch(X=sub.X, params=P, adj=sub.adj))
-                    n_kept += len(sel)
-                if n_kept >= n:
-                    return GraphBatch.concat(kept)[:n]
-            raise RuntimeError(
-                f"valid_only: only {n_kept}/{n} valid samples after "
-                f"{n_tried} decodes ({max_rounds} rounds); the model's "
-                f"validity rate is too low — try prior='fitted' with a "
-                f"temperature < 1 (docs/PERF.md), raise max_rounds, or use "
-                f"project_topology=True")
+            return rejection_sample_valid(
+                n, m,
+                lambda r: self.generate(m, prior=prior, temperature=temperature),
+                max_rounds,
+                hint="try prior='fitted' with a temperature < 1 "
+                     "(docs/PERF.md), raise max_rounds, or use "
+                     "project_topology=True")
         if prior == "fitted":
             if self.prior is None:
                 raise ValueError(
@@ -449,6 +434,11 @@ class DXVAE:
             n_data = len(jax.devices()) // n_model
             while size_batch % n_data:
                 n_data -= 1
+        elif n_data < 1 or n_data * n_model > len(jax.devices()):
+            raise ValueError(
+                f"n_data={n_data} x n_model={n_model} needs that many devices "
+                f"(have {len(jax.devices())})"
+            )
         elif size_batch % n_data:
             raise ValueError(
                 f"size_batch={size_batch} is not divisible by the data-parallel mesh "

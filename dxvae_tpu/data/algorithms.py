@@ -120,3 +120,38 @@ def project_topology(adj: np.ndarray, alg_scores: np.ndarray | None = None):
         score = d
     k = np.argmin(score, axis=-1)
     return table[k], k.astype(np.int64)
+
+
+def rejection_sample_valid(n, m, decode_round, max_rounds, hint):
+    """Shared core of ``valid_only`` generation (DXVAE.generate and
+    ServedDXVAE.generate): call ``decode_round(r)`` (a GraphBatch of ``m``
+    prior samples for round ``r``), keep only rows whose topology exactly IS
+    a valid DX7 algorithm, sync the alg param byte to the matched routing
+    (it is what a DX7 reads), and stop once ``n`` survivors accumulated.
+
+    Raises RuntimeError after ``max_rounds`` rounds, appending ``hint``
+    (caller-specific advice) to the message.
+    """
+    from dxvae_tpu.graph import GraphBatch
+
+    kept: list[GraphBatch] = []
+    n_kept = n_tried = 0
+    for r in range(max_rounds):
+        G = decode_round(r)
+        match = match_algorithm(G.adj)
+        sel = np.flatnonzero(match >= 0)
+        n_tried += m
+        if len(sel):
+            sub = G[sel]
+            P = sub.params.copy()
+            P[:, 0, 18] = match[sel].astype(P.dtype)
+            # NOT sub._replace(): GraphBatch.__len__ is the batch size,
+            # which trips namedtuple._make's arity check
+            kept.append(GraphBatch(X=sub.X, params=P, adj=sub.adj))
+            n_kept += len(sel)
+        if n_kept >= n:
+            return GraphBatch.concat(kept)[:n]
+    raise RuntimeError(
+        f"valid_only: only {n_kept}/{n} valid samples after {n_tried} "
+        f"decodes ({max_rounds} rounds); the model's validity rate is too "
+        f"low — {hint}")

@@ -225,7 +225,7 @@ class ServedDXVAE:
         DXVAE.generate (valid_only rounds decode at the bucket size that
         fits ``max(n, 64)``, so rejection costs no extra compilations)."""
         if valid_only:
-            from dxvae_tpu.data.algorithms import match_algorithm
+            from dxvae_tpu.data.algorithms import rejection_sample_valid
 
             # each round decodes at a full bucket: the decode pads up to one
             # anyway, so snapping m to the executed bucket size makes every
@@ -237,26 +237,13 @@ class ServedDXVAE:
             m = fit[0] if fit else caps[-1]
             if int(n) > caps[-1]:
                 m = int(n)
-            kept: list[GraphBatch] = []
-            n_kept = n_tried = 0
-            for r in range(max_rounds):
-                G = self.generate(m, seed=seed + 7919 * r, prior=prior,
-                                  temperature=temperature)
-                match = match_algorithm(G.adj)
-                sel = np.flatnonzero(match >= 0)
-                n_tried += m
-                if len(sel):
-                    sub = G[sel]
-                    P = sub.params.copy()
-                    P[:, 0, 18] = match[sel].astype(P.dtype)
-                    kept.append(GraphBatch(X=sub.X, params=P, adj=sub.adj))
-                    n_kept += len(sel)
-                if n_kept >= n:
-                    return GraphBatch.concat(kept)[:n]
-            raise RuntimeError(
-                f"valid_only: only {n_kept}/{n} valid samples after "
-                f"{n_tried} decodes ({max_rounds} rounds); try the bundled "
-                f"fitted prior with temperature < 1, or raise max_rounds")
+            return rejection_sample_valid(
+                n, m,
+                lambda r: self.generate(m, seed=seed + 7919 * r, prior=prior,
+                                        temperature=temperature),
+                max_rounds,
+                hint="try the bundled fitted prior with temperature < 1, "
+                     "or raise max_rounds")
         if prior is None:
             prior = "fitted" if self.manifest.get("has_prior") else "standard"
         rng = np.random.default_rng(seed)

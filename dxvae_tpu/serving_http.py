@@ -145,11 +145,14 @@ class _BundleHandler(BaseHTTPRequestHandler):
                 else:
                     X = np.asarray(req["X"], np.float32)
                     adj = np.asarray(req["adj"], np.float32)
+                if len(X) != 1:
+                    # reject BEFORE the lock: a batched "query" would hold
+                    # the device (queuing every other client) for an encode
+                    # whose result is discarded
+                    raise ValueError(
+                        f"search takes exactly one query patch, got {len(X)}")
                 with self.server.lock:
                     mu, _ = srv.encode((X, adj))
-                if mu.shape[0] != 1:
-                    raise ValueError(
-                        f"search takes exactly one query patch, got {mu.shape[0]}")
                 hits = knn_hits(index["mu"], mu[0],
                                 k=int(req.get("k", 5)),
                                 metric=req.get("metric", "l2"))

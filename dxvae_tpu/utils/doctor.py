@@ -65,17 +65,27 @@ def probe_device(timeout_s: float = 90.0, cpu: bool = False) -> dict:
     if child.returncode != 0 or line is None:
         return {"ok": False,
                 "error": f"probe exited {child.returncode}: {err.strip()[-500:]}"}
-    rep = json.loads(line)
+    try:
+        rep = json.loads(line)
+    except ValueError:
+        return {"ok": False, "error": f"probe printed malformed report: {line[:200]!r}"}
     rep["ok"] = bool(rep.get("matmul_ok"))
+    if not rep["ok"]:
+        # reachable but miscomputing — as loud a failure as unreachable
+        rep.setdefault("error", f"device answered but the matmul verification "
+                                f"failed: {line[:200]}")
     return rep
 
 
 def run_checks(raw_dir: str | None = None, probe_timeout: float = 90.0,
                cpu: bool = False) -> list[dict]:
     """Run every check; returns [{"check", "ok", "detail"}, ...]."""
-    from dxvae_tpu.utils.config import TrainConfig
+    from dxvae_tpu.data.dataset import default_raw_dir
 
-    raw_dir = raw_dir or TrainConfig().raw_dir
+    # the env-aware default the scripts use ($DXVAE_RAW_DIR, then the known
+    # mount) — NOT the CLI train commands' reference-parity relative
+    # "DX_data", which would make a bare `doctor` cry wolf from any cwd
+    raw_dir = raw_dir or default_raw_dir()
     checks: list[dict] = []
 
     def add(check: str, ok: bool, detail: str) -> None:
@@ -134,16 +144,28 @@ def run_checks(raw_dir: str | None = None, probe_timeout: float = 90.0,
     except OSError as e:
         add("dataset_cache", False, f"cache dir not writable: {e}")
 
-    # 6. native codec tier
+    # 6. native codec tier.  Only consult available() when the library file
+    # already exists: on a missing .so, native._load() would g++-BUILD it
+    # (up to ~2 min) — a diagnostic must not compile, mutate the tree, or
+    # mask that the deployment lacked the built tier
     from dxvae_tpu.data import native
 
     lib = native._LIB_PATH
-    if native.available():
-        add("native_codec", True, f"C++ codec loaded ({lib})")
-    else:
+    if not lib.exists():
         add("native_codec", True,  # fallback is bit-exact, so not a failure
             f"{lib} absent — using the bit-exact NumPy codec "
             "(scripts/build_native.sh builds the native tier)")
+    else:
+        try:
+            loadable = native.available()
+        except OSError:  # corrupt/foreign-arch .so: CDLL raises out of _load
+            loadable = False
+        if loadable:
+            add("native_codec", True, f"C++ codec loaded ({lib})")
+        else:
+            add("native_codec", False,
+                f"{lib} exists but failed to load — rebuild with "
+                "scripts/build_native.sh (NumPy fallback still works)")
 
     # 7. shipped checkpoints
     ckpt_dir = Path(__file__).resolve().parents[2] / "checkpoints"

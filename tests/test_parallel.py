@@ -163,6 +163,23 @@ def test_train_rejects_bad_n_model(dataset):
                             n_model=1024, extra_epoch=False)
 
 
+def test_train_rejects_bad_n_data(dataset):
+    """Out-of-range n_data must fail validation BEFORE the model's key
+    stream is consumed, so a rejected call leaves the model reproducible."""
+    from dxvae_tpu.api import DXVAE
+
+    import numpy as np
+
+    model = DXVAE(seed=0)
+    key_before = np.asarray(model._key).copy()
+    for bad in (0, -1, 1024):
+        with pytest.raises(ValueError):
+            model.train(dataset[:32], epochs=0, size_batch=32,
+                        n_data=bad, extra_epoch=False)
+    np.testing.assert_array_equal(np.asarray(model._key), key_before,
+                                  err_msg="rejected train() consumed keys")
+
+
 def test_dryrun_multichip_donated():
     """Donated variant of the driver contract: buffer donation + 2D sharding
     must compile and run together (the production step donates, VERDICT r2 #4)."""
