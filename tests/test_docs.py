@@ -88,6 +88,11 @@ def test_parallel_and_utils_documented_signatures():
     assert params_of(MetricsLogger.__init__)[1:] == [
         "csv_path", "stdout", "append"]
 
+    from dxvae_tpu.utils.doctor import probe_device, run_checks
+
+    assert params_of(run_checks) == ["raw_dir", "probe_timeout", "cpu"]
+    assert params_of(probe_device) == ["timeout_s", "cpu"]
+
 
 def test_cli_subcommands_match_docs():
     from dxvae_tpu.cli import build_parser
