@@ -83,3 +83,45 @@ def test_two_process_training_matches_single_process(tmp_path, n_model):
         # gloo's cross-process all-reduce may associate differently from
         # XLA's single-process reduction; tolerance covers f32 order effects
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
+
+
+def test_cli_coordinator_wiring(tmp_path):
+    """The CLI's --coordinator path: two `train-new` processes rendezvous via
+    init_distributed and run the train loop SPMD.  epochs=0 --no-extra-epoch
+    trains zero batches, so this stays cheap (no compile) while exercising
+    the full wiring: argparse -> init_distributed -> dataset -> mesh/state
+    promotion -> primary-only stdout."""
+    port = free_port()
+    code = (
+        "import sys, jax;"
+        "jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_num_cpu_devices',4);"
+        "from dxvae_tpu.cli import main; sys.exit(main(sys.argv[1:]))"
+    )
+    workers = [
+        subprocess.Popen(
+            [sys.executable, "-c", code, "train-new",
+             "--coordinator", f"127.0.0.1:{port}",
+             "--num-processes", "2", "--process-id", str(pid),
+             "--raw-dir", RAW, "--synprez-only",
+             "--epochs", "0", "--no-extra-epoch", "--size-batch", "1024",
+             "--checkpoint", str(tmp_path / "cli_dist.npz")],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for w in workers:
+            out, err = w.communicate(timeout=600)
+            outs.append((w.returncode, out, err))
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+    for rc, out, err in outs:
+        assert rc == 0, (out[-2000:], err[-4000:])
+    # the stdout contract is owned by rank 0 alone
+    finished = ["Finished Training" in out for rc, out, err in outs]
+    assert sum(finished) == 1, finished
