@@ -329,11 +329,14 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     ``forced_adj (B,7,7)`` (beyond-reference): teacher-force the topology —
     every self-loop/edge decision is read from ``forced_adj`` instead of the
     edge heads (whose matmuls are skipped entirely), while node features stay
-    autoregressive.  The hidden-refresh cadence is byte-identical to the free
-    decode with the same decisions: forcing the adjacency a free decode would
-    have produced returns exactly that decode's output (tested).  This is the
-    decode-side mirror of the loss path's teacher forcing (model.py:330-363)
-    and powers algorithm-conditional generation (``DXVAE.generate(alg=...)``).
+    autoregressive.  Intermediate hidden refreshes are skipped too — they are
+    only ever read by the skipped edge heads, so one refresh per node with
+    the fully-accumulated window H_in produces byte-identical output to the
+    free decode's full vi+2 cadence with the same decisions: forcing the
+    adjacency a free decode would have produced returns exactly that decode's
+    output (tested).  This is the decode-side mirror of the loss path's
+    teacher forcing (model.py:330-363) and powers algorithm-conditional
+    generation (``DXVAE.generate(alg=...)``).
     """
     n, h = cfg.n_nodes, cfg.size_h
     b = z.shape[0]
@@ -384,16 +387,35 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         Xl.append(xi)
         Pl.append(pi)
 
+        if forced:
+            # every intermediate refresh of the cadence is DEAD here: an
+            # intermediate hidden is only ever read by the edge heads, which
+            # forced mode skips — so accumulate the whole window's H_in
+            # (same vi-1..0 float order as the free path) and refresh ONCE.
+            # Byte-identical to running the full cadence with the same
+            # decisions (the equivalence test pins it) at ~1/(vi+2) of the
+            # GRU matmuls.
+            s = forced_adj[:, vi, vi]
+            adj_self.append(s)
+            h_acc = zero_hin
+            for vj in range(vi - 1, -1, -1):
+                e_in = forced_adj[:, vj, vi]   # edge vj -> vi
+                e_out = forced_adj[:, vi, vj]  # edge vi -> vj
+                adj_in[vj][vi] = e_in
+                adj_in[vi][vj] = e_out
+                h_acc = h_acc + slot_contribution(
+                    projl[vj], e_in.astype(cdt), e_out.astype(cdt), gate_b
+                )
+            hid_prev = _propagate_list(params, xi, h_acc, s, cdt)
+            continue
+
         # propagate with no incident edges yet (H_in = 0)
         hv = _propagate_list(params, xi, zero_hin, no_loop, cdt)
 
         # self-loop decision, then re-propagate (model.py:236-240);
         # window edges still absent, so H_in stays 0
-        if forced:
-            s = forced_adj[:, vi, vi]
-        else:
-            s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
-            s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
+        s_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
+        s = (jax.nn.sigmoid(s_logit)[:, 0] > 0.5).astype(dt)
         adj_self.append(s)
         hv = _propagate_list(params, xi, zero_hin, s, cdt)
 
@@ -403,13 +425,9 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
         if cfg.unroll:
             h_acc = zero_hin
             for vj in order:
-                if forced:
-                    e_in = forced_adj[:, vj, vi]   # edge vj -> vi
-                    e_out = forced_adj[:, vi, vj]  # edge vi -> vj
-                else:
-                    e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
-                    e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
-                    e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
+                e = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
+                e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
+                e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
                 adj_in[vj][vi] = e_in
                 adj_in[vi][vj] = e_out
                 h_acc = h_acc + slot_contribution(
@@ -418,39 +436,22 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
                 hv = _propagate_list(params, xi, h_acc, s, cdt)
         else:
             # branch-free edge scan: per-step inputs pre-stacked as xs
-            # (forced mode: decisions ride in as xs; no edge-head inputs)
-            if forced:
-                xs = (
-                    jnp.stack([projl[j] for j in order]),
-                    jnp.stack([forced_adj[:, j, vi] for j in order]),
-                    jnp.stack([forced_adj[:, vi, j] for j in order]),
-                )
+            xs = (
+                jnp.stack([ehl[j] for j in order]),
+                jnp.stack([projl[j] for j in order]),
+            )
 
-                def edge_body(carry, x, xi=xi, s=s):
-                    hv, h_acc = carry
-                    proj_vj, e_in, e_out = x
-                    h_acc = h_acc + slot_contribution(
-                        proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
-                    )
-                    hv = _propagate_list(params, xi, h_acc, s, cdt)
-                    return (hv, h_acc), (e_in, e_out)
-            else:
-                xs = (
-                    jnp.stack([ehl[j] for j in order]),
-                    jnp.stack([projl[j] for j in order]),
+            def edge_body(carry, x, xi=xi, s=s):
+                hv, h_acc = carry
+                eh_vj, proj_vj = x
+                e = _edge_logits(params, hv, eh_vj, w1a, b1).astype(dt)
+                e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
+                e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
+                h_acc = h_acc + slot_contribution(
+                    proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
                 )
-
-                def edge_body(carry, x, xi=xi, s=s):
-                    hv, h_acc = carry
-                    eh_vj, proj_vj = x
-                    e = _edge_logits(params, hv, eh_vj, w1a, b1).astype(dt)
-                    e_in = (jax.nn.sigmoid(e[:, 0]) > 0.5).astype(dt)
-                    e_out = (jax.nn.sigmoid(e[:, 1]) > 0.5).astype(dt)
-                    h_acc = h_acc + slot_contribution(
-                        proj_vj, e_in.astype(cdt), e_out.astype(cdt), gate_b
-                    )
-                    hv = _propagate_list(params, xi, h_acc, s, cdt)
-                    return (hv, h_acc), (e_in, e_out)
+                hv = _propagate_list(params, xi, h_acc, s, cdt)
+                return (hv, h_acc), (e_in, e_out)
 
             (hv, _), (e_ins, e_outs) = jax.lax.scan(edge_body, (hv, zero_hin), xs)
             for k, vj in enumerate(order):
@@ -463,11 +464,9 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     P = jnp.stack(Pl, axis=1)
     rows = []
     for i in range(n):
-        cols = [
-            adj_self[i] if j == i else (adj_in[i][j] if adj_in[i][j] is not None
-                                        else jnp.zeros((b,), dt))
-            for j in range(n)
-        ]
+        # every off-diagonal pair {a,b} was written exactly once (both
+        # directions) at vi=max(a,b), so the matrix is fully populated
+        cols = [adj_self[i] if j == i else adj_in[i][j] for j in range(n)]
         rows.append(jnp.stack(cols, axis=1))
     adj = jnp.stack(rows, axis=1)
     return X, P, adj

@@ -61,24 +61,9 @@ def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32):
 # apply
 # --------------------------------------------------------------------------- #
 
-def matmul_wT(x, w):
-    """``x @ w.T`` with mixed-precision support.
-
-    When the weight is bfloat16 but the activation is not (the
-    ``bfloat16_mixed`` mode: bf16 weights/MXU flops, float32 activation
-    islands), the activation is cast to bf16 for the matmul and the MXU
-    accumulates/outputs in the activation's dtype via
-    ``preferred_element_type`` — full-rate bf16 matmul, no precision loss in
-    the elementwise chain between matmuls.
-    """
-    if w.dtype == jnp.bfloat16 and x.dtype != jnp.bfloat16:
-        return jax.lax.dot_general(
-            x.astype(jnp.bfloat16),
-            w,
-            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
-            preferred_element_type=x.dtype,
-        )
-    return x @ w.T
+# one shared implementation (also used by ops.propagate's cached-projection
+# refresh); lives in a leaf module to avoid the models <-> ops import cycle
+from dxvae_tpu.ops.matmul import matmul_wT  # noqa: E402  (re-export)
 
 
 def linear(p, x):

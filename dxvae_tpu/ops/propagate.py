@@ -34,6 +34,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from dxvae_tpu.ops.matmul import matmul_wT
+
 
 class PropState(NamedTuple):
     """Message-passing state carried through encode/decode.
@@ -60,16 +62,8 @@ class PropState(NamedTuple):
         :func:`pack_gate_mapper`; the refresh is one (B, H) @ (H, 4H) matmul.
         """
         # bf16 weights + f32 hidden = the bfloat16_mixed mode: bf16 matmul
-        # with f32 accumulation/output (same rule as layers.matmul_wT; inlined
-        # here to avoid a models <-> ops import cycle)
-        if w_pack.dtype == jnp.bfloat16 and h.dtype != jnp.bfloat16:
-            p = jax.lax.dot_general(
-                h.astype(jnp.bfloat16), w_pack,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=h.dtype,
-            ).reshape(h.shape[0], 4, -1)
-        else:
-            p = (h @ w_pack.T).reshape(h.shape[0], 4, -1)
+        # with f32 accumulation/output (ops.matmul holds the one shared rule)
+        p = matmul_wT(h, w_pack).reshape(h.shape[0], 4, -1)
         return PropState(
             hidden=self.hidden.at[:, v, :].set(h),
             proj=self.proj.at[:, v, :, :].set(p),

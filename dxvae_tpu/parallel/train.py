@@ -9,7 +9,6 @@ shuffle each epoch, remainder batches dropped.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -85,7 +84,7 @@ def make_train_step(
 def make_eval_step(cfg: DXVAEConfig = DXVAEConfig(), weights: LossWeights = LossWeights()):
     """Jitted eval-mode forward (z = posterior mean): (params, X, P, adj) -> metrics."""
 
-    @partial(jax.jit, static_argnums=())
+    @jax.jit
     def eval_fn(params, X, P, adj):
         total, (lx0, lxi, le, kld) = forward(
             params, X, P, adj, training=False, weights=weights, cfg=cfg
