@@ -66,9 +66,6 @@ def main():
         args.bundle = f"/tmp/bench_serving_{args.dtype}_{args.batch}.npz"
         export_bundle(model, args.bundle, batch_sizes=(args.batch,),
                       functions=("roundtrip",), platforms=(platform,))
-    with np.load(args.bundle) as f:
-        art = jax_export.deserialize(bytes(f[f"roundtrip/{args.batch}"]))
-
     ds = DXDataset(args.raw_dir or default_raw_dir(),
                    save_dir="/tmp/dxvae_bench_cache", include="synprez")
     b = ds.batch
@@ -112,7 +109,11 @@ def main():
             def http_req():
                 conn.request("POST", "/v1/roundtrip", body,
                              {"Content-Type": "application/json"})
-                json.loads(conn.getresponse().read())
+                resp = conn.getresponse()
+                payload = json.loads(resp.read())
+                if resp.status != 200:  # a timed error response would be
+                    # far cheaper than a roundtrip -> bogus overhead numbers
+                    raise SystemExit(f"server error {resp.status}: {payload}")
 
             http_req()  # warm the server's artifact cache
             t_http = med(http_req)
@@ -130,6 +131,19 @@ def main():
                     "the overhead is host-side (chip-independent)",
         }))
         return 0
+
+    # the exact-bucket artifact is only needed on the direct path (the http
+    # path serves any batch by padding to a bucket, serving.py:_call)
+    with np.load(args.bundle) as f:
+        key = f"roundtrip/{args.batch}"
+        if key not in f:
+            buckets = sorted(int(k.rsplit("/", 1)[1]) for k in f.files
+                             if k.startswith("roundtrip/"))
+            raise SystemExit(
+                f"bundle has no roundtrip artifact at batch {args.batch} "
+                f"(buckets: {buckets}); pass --batch matching a bucket or "
+                "re-export with --batch-sizes")
+        art = jax_export.deserialize(bytes(f[key]))
 
     def chain(k):
         Xk, adjk = X, adj
@@ -154,6 +168,9 @@ def main():
         estimates.append((t_hi - t_lo) / (args.k_hi - args.k_lo))
     estimates.sort()
     per_call = estimates[len(estimates) // 2]
+    if per_call <= 0 or estimates[-1] > 2 * max(estimates[0], 1e-9):
+        print("# WARNING: two-K estimates noise-dominated; raise --k-hi / "
+              "--repeats before quoting this number", file=sys.stderr)
     print(f"# per-call {per_call*1e3:.3f} ms (estimates: "
           f"{[round(e*1e3, 3) for e in estimates]}) | batch {n} | "
           f"dtype {args.dtype} | platform {platform}", file=sys.stderr)

@@ -20,6 +20,7 @@ def main():
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
 
@@ -39,31 +40,42 @@ def main():
     opt = make_optimizer(1e-3)
     state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
 
-    def chained(k):
-        @jax.jit
-        def run(state, key):
-            def body(i, carry):
-                st, key = carry
-                key, sub = jax.random.split(key)
-                def loss_fn(p):
-                    t, _ = forward(p, X, P, A, key=sub, training=True,
-                                   weights=LossWeights(), cfg=cfg)
-                    return t
-                loss, grads = jax.value_and_grad(loss_fn)(st.params)
-                upd, opt_state = opt.update(grads, st.opt_state, st.params)
-                params = optax.apply_updates(st.params, upd)
-                return st._replace(params=params, opt_state=opt_state,
-                                   step=st.step + 1), key
-            st, _ = jax.lax.fori_loop(0, k, body, (state, key))
-            return st.params["h_to_mu"]["b"].sum()
-        return run
+    # traced trip count (bench.py methodology, CLAUDE.md): ONE compiled
+    # program serves every K — the unrolled train step is a minutes-long
+    # compile, so closing over k would pay it once per K value
+    @jax.jit
+    def run(state, key, k):
+        def body(i, carry):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            def loss_fn(p):
+                t, _ = forward(p, X, P, A, key=sub, training=True,
+                               weights=LossWeights(), cfg=cfg)
+                return t
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            upd, opt_state = opt.update(grads, st.opt_state, st.params)
+            params = optax.apply_updates(st.params, upd)
+            return st._replace(params=params, opt_state=opt_state,
+                               step=st.step + 1), key
+        st, _ = jax.lax.fori_loop(0, k, body, (state, key))
+        # the loop carry threads the FULL update through every iteration, so
+        # no gradient can be dead-code-eliminated; one scalar read syncs
+        return st.params["h_to_mu"]["b"].sum()
 
-    lo, hi = chained(args.k_lo), chained(args.k_hi)
     key = jax.random.PRNGKey(1)
-    float(lo(state, key)); float(hi(state, key))
-    tl = min((lambda t0=time.perf_counter(): (float(lo(state, key)), time.perf_counter() - t0)[1])() for _ in range(3))
-    th = min((lambda t0=time.perf_counter(): (float(hi(state, key)), time.perf_counter() - t0)[1])() for _ in range(3))
-    per = (th - tl) / (args.k_hi - args.k_lo)
+    klo, khi = jnp.int32(args.k_lo), jnp.int32(args.k_hi)
+    float(run(state, key, klo)); float(run(state, key, khi))  # warm (one compile)
+    ests = []
+    for _ in range(args.repeats):
+        t0 = time.perf_counter(); float(run(state, key, klo)); tl = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(run(state, key, khi)); th = time.perf_counter() - t0
+        ests.append((th - tl) / (args.k_hi - args.k_lo))
+    ests.sort()
+    per = ests[len(ests) // 2]
+    if per <= 0 or ests[-1] > 2 * max(ests[0], 1e-9):
+        print(f"# WARNING: two-K estimates noise-dominated "
+              f"({[f'{e*1e3:.2f}ms' for e in ests]}); raise --k-hi or --repeats",
+              file=sys.stderr)
     print(f"train step: {per*1e3:.2f} ms @ batch {n} ({n/per:.0f} patches/sec) dtype {args.dtype}")
 
 

@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+enable_persistent_cache()  # ~7 distinct unrolled programs compile per run (CLAUDE.md)
+
 from dxvae_tpu.api import DXVAE, DXDataset
 from dxvae_tpu.data.dataset import default_raw_dir
 from dxvae_tpu.graph import GraphBatch
@@ -27,7 +31,11 @@ def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
         "alg_acc": float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean()),
         "edge_acc": float((G.adj == R.adj).mean()),
         "topology_exact": float((G.adj == R.adj).all(axis=(1, 2)).mean()),
-        "param_exact": float((G.params == R.params).mean()),
+        # elementwise accuracy (renamed from round-3's "param_exact": the
+        # value is unchanged, but '_exact' suggested per-patch-all-exact,
+        # which is a much lower number)
+        "param_acc": float((G.params == R.params).mean()),
+        "params_exact": float((G.params == R.params).all(axis=(1, 2)).mean()),
         "mean_abs_X_err": float(np.abs(G.X - R.X).mean()),
         "env_param_acc": float((G.params[:, 1:, 1:9] == R.params[:, 1:, 1:9]).mean()),
         "freq_coarse_acc": float((G.params[:, 1:, 9] == R.params[:, 1:, 9]).mean()),
@@ -84,7 +92,10 @@ def main():
     mu_all, _ = model.encode(train.batch)
     mu_all = np.asarray(mu_all, np.float64)
     algs = np.asarray(train.batch.params[:, 0, 18])
-    d2 = ((mu_all[:, None] - mu_all[None]) ** 2).sum(-1)
+    # gram identity: same (N, N) distances without the (N, N, Z) float64
+    # broadcast transient (~1-2 GB at N=1024)
+    g2 = (mu_all**2).sum(-1)
+    d2 = g2[:, None] + g2[None] - 2.0 * (mu_all @ mu_all.T)
     np.fill_diagonal(d2, np.inf)
     nn5 = np.argsort(d2, axis=1, kind="stable")[:, :5]
     freq = np.bincount(algs, minlength=32).astype(np.float64) / len(algs)
@@ -134,7 +145,7 @@ def main():
             (G.adj == R.adj).all(axis=(1, 2)).mean())
         report[section]["roundtrip_alg_retained"] = float(
             (G.params[:, 0, 18] == R.params[:, 0, 18]).mean())
-        report[section]["roundtrip_param_exact"] = float(
+        report[section]["roundtrip_param_acc"] = float(
             (G.params == R.params).mean())
 
     if args.json:
