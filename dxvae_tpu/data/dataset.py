@@ -73,7 +73,8 @@ def _cache_key(files: Sequence[Path]) -> str:
         st = f.stat()
         # mtime matters: every valid bank is exactly 4104 bytes, so size alone
         # could never invalidate the cache after an in-place edit
-        h.update(str(f).encode())
+        h.update(str(f.resolve()).encode())  # absolute: the shared
+        # ~/.cache fallback must not collide across identical relative names
         h.update(str(st.st_size).encode())
         h.update(str(st.st_mtime_ns).encode())
     return h.hexdigest()[:16]
@@ -101,6 +102,10 @@ class DXDataset:
         files = sorted(self.raw_dir.rglob("*.syx"))
         if include == "synprez":
             files = [f for f in files if "SynprezFM" in f.name]
+        elif include is not None:
+            raise ValueError(
+                f"unknown include={include!r} (valid: 'synprez' or None) — "
+                "a typo here would silently change the training corpus")
         if not files:
             raise FileNotFoundError(f"no .syx banks under {self.raw_dir}")
         self.files = files
@@ -138,7 +143,10 @@ class DXDataset:
 
     def _write_cache(self) -> None:
         self.save_dir.mkdir(parents=True, exist_ok=True)
-        tmp = self._cache_path.with_suffix(".tmp.npz")
+        # pid-unique tmp name: two processes cold-building the same cache
+        # must not interleave writes into one tmp file (os.replace keeps the
+        # publish itself atomic; last writer wins with identical content)
+        tmp = self._cache_path.with_suffix(f".tmp.{os.getpid()}.npz")
         np.savez_compressed(tmp, X=self.batch.X, params=self.batch.params, adj=self.batch.adj)
         os.replace(tmp, self._cache_path)  # atomic publish
 
@@ -171,8 +179,6 @@ class DXDataset:
         return len(self.batch)
 
     def __getitem__(self, idx) -> GraphBatch:
-        if isinstance(idx, int):
-            idx = slice(idx, idx + 1) if idx != -1 else slice(-1, None)
-        if isinstance(idx, slice):
-            return GraphBatch(self.batch.X[idx], self.batch.params[idx], self.batch.adj[idx])
-        return self.batch.take(idx)
+        # GraphBatch owns the indexing contract (int incl. np.integer ->
+        # length-1 batch with bounds check, slice/array -> sub-batch)
+        return self.batch[idx]

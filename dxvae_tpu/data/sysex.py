@@ -73,6 +73,16 @@ def read_syx_bytes(blob, verify_checksum: bool = False,
     if ends.size == 0:
         raise ValueError(f"{label}: unterminated SysEx message")
     data = blob[s + 1 : s + int(ends[0])]  # between F0 and F7
+    hdr = data[: len(HEADER)]
+    # Yamaha ID, sub-status 0 (any MIDI channel in the low nibble), format 9
+    # = 32-voice bulk, byte count 0x2000.  The reference strips these bytes
+    # blindly (dxdata.py:315); validating them turns "silently bit-slice a
+    # foreign SysEx into garbage" into a clear error (the HTTP serving path
+    # feeds user-posted banks straight in here)
+    if (hdr.size != len(HEADER) or hdr[0] != 0x43 or (hdr[1] & 0x70) != 0
+            or hdr[2] != 0x09 or hdr[3] != 0x20 or hdr[4] != 0x00):
+        raise ValueError(
+            f"{label}: not a DX7 32-voice bulk dump (header {hdr.tolist()})")
     payload = data[len(HEADER) : -1]  # strip header + checksum
     if payload.size != VOICES_PER_BANK * VOICE_BYTES:
         raise ValueError(
@@ -342,7 +352,8 @@ def params_to_syx_bytes(
     bytes — the in-memory counterpart of :func:`params_to_syx_file` for
     serving responses (identical validation, checksum modes, and framing;
     these bytes written to a file parse back with :func:`read_syx`)."""
+    # no 7-bit re-check here: _bank_message output is pack_voices-validated
+    # payload + the constant header + a masked checksum, all provably 7-bit
+    # (the guard in write_syx covers arbitrary caller data on the file path)
     data = _bank_message(params, checksum, names)
-    if np.any(data > 0x7F):  # write_syx applies the same guard on the file path
-        raise ValueError("SysEx data bytes must be 7-bit")
     return b"\xf0" + data.tobytes() + b"\xf7"

@@ -47,6 +47,9 @@ class GraphBatch(NamedTuple):
         fields by name (``.X`` / ``.params`` / ``.adj``)."""
         if isinstance(idx, (int, np.integer)):
             idx = int(idx)
+            n = len(self)
+            if not -n <= idx < n:  # match the reference's list IndexError
+                raise IndexError(f"patch index {idx} out of range for a batch of {n}")
             idx = slice(idx, idx + 1) if idx != -1 else slice(-1, None)
         if isinstance(idx, slice):
             return GraphBatch(self.X[idx], self.params[idx], self.adj[idx])

@@ -137,7 +137,7 @@ def fit_gmm(
     zw = (z_cloud - shift) / scale
 
     @jax.jit
-    def run(key):
+    def run(key, zw):
         means0 = _kmeanspp_init(key, zw, n_components)
         global_cov = jnp.cov(zw.T).astype(jnp.float32).reshape(d, d)
         chol0 = jnp.broadcast_to(
@@ -169,7 +169,10 @@ def fit_gmm(
         carry, _ = jax.lax.scan(em_step, (log_w0, means0, chol0), None, length=n_iters)
         return carry
 
-    log_w, means, chol = run(key)
+    # zw rides in as a traced argument: closing over it would bake the whole
+    # sample cloud into the compiled program as an XLA constant (program size
+    # and compile time scaling with N, and no cache reuse across clouds)
+    log_w, means, chol = run(key, zw)
     # un-whiten: z = shift + scale * zw  =>  mean = shift + scale*mu_w,
     # cov = diag(scale) cov_w diag(scale)  =>  chol = diag(scale) @ chol_w
     means = shift + scale * means
@@ -200,7 +203,12 @@ def sample_gmm(prior: GMMPrior, key, n: int,
 
 
 def save_prior(path: str, prior: GMMPrior) -> None:
-    """Persist a fitted prior as a small standalone .npz."""
+    """Persist a fitted prior as a small standalone .npz.
+
+    The path is normalized to end in ``.npz`` BEFORE saving (np.savez would
+    append it silently, making a later ``load_prior(same_path)`` miss the
+    file np.savez actually wrote)."""
+    path = path if str(path).endswith(".npz") else f"{path}.npz"
     np.savez(
         path,
         log_weights=np.asarray(prior.log_weights),
@@ -210,6 +218,7 @@ def save_prior(path: str, prior: GMMPrior) -> None:
 
 
 def load_prior(path: str) -> GMMPrior:
+    path = path if str(path).endswith(".npz") else f"{path}.npz"
     with np.load(path) as f:
         return GMMPrior(
             log_weights=jnp.asarray(f["log_weights"]),

@@ -57,7 +57,9 @@ def save_checkpoint(path, state, params_only: bool = False) -> None:
     else:
         tree = {"params": state.params, "opt_state": state.opt_state, "step": state.step}
     flat = {f"t/{k}": v for k, v in _flatten(tree).items()}
-    tmp = path.with_name(path.name + ".tmp.npz")  # np.savez appends .npz otherwise
+    # pid-unique (concurrent writers must not share a tmp file) and
+    # .npz-suffixed (np.savez appends it otherwise)
+    tmp = path.with_name(f"{path.name}.tmp.{os.getpid()}.npz")
     np.savez(tmp, **flat)
     os.replace(tmp, path)
 
@@ -135,9 +137,9 @@ def import_torch_state_dict(state_dict, template_params) -> dict:
     def seq_linear(prefix, dst, slot=None):
         pw = f"{prefix}.weight" if slot is None else f"{prefix}.{slot}.weight"
         pb = f"{prefix}.bias" if slot is None else f"{prefix}.{slot}.bias"
-        out[dst]["w"] = sd[pw]
+        put(dst, "w", sd[pw])
         if pb in sd:
-            out[dst]["b"] = sd[pb]
+            put(dst, "b", sd[pb])
 
     seq_linear("h_to_mu", "h_to_mu")
     seq_linear("h_to_std", "h_to_std", 0)
@@ -149,8 +151,8 @@ def import_torch_state_dict(state_dict, template_params) -> dict:
     for head, n_layers in (("h_to_x0", 3), ("h_to_x", 3), ("h_to_edge_self", 2), ("h_to_edge", 2)):
         for li in range(n_layers):
             slot = 2 * li
-            out[head][li]["w"] = sd[f"{head}.{slot}.weight"]
-            out[head][li]["b"] = sd[f"{head}.{slot}.bias"]
+            put(head, (li, "w"), sd[f"{head}.{slot}.weight"])
+            put(head, (li, "b"), sd[f"{head}.{slot}.bias"])
 
     return out
 
@@ -243,9 +245,14 @@ def load_checkpoint_orbax(path, template):
         leaves_s = jax.tree_util.tree_leaves(saved_tree)
         if len(leaves_t) != len(leaves_s):
             raise ValueError(f"checkpoint leaf count {len(leaves_s)} != template {len(leaves_t)}")
-        casted = [
-            np.asarray(s).astype(np.asarray(t).dtype) for t, s in zip(leaves_t, leaves_s)
-        ]
+        casted = []
+        for i, (t, s_leaf) in enumerate(zip(leaves_t, leaves_s)):
+            t, s_leaf = np.asarray(t), np.asarray(s_leaf)
+            if t.shape != s_leaf.shape:
+                raise ValueError(
+                    f"checkpoint leaf {i}: shape {s_leaf.shape} != template "
+                    f"{t.shape} (different model size?)")
+            casted.append(s_leaf.astype(t.dtype))
         return jax.tree_util.tree_unflatten(treedef, casted)
 
     if hasattr(template, "params"):

@@ -169,3 +169,16 @@ def test_cli_prior_save_load_surface(model, dataset, tmp_path):
     np.testing.assert_array_equal(b.adj, c.adj)
     with pytest.raises(SystemExit, match="--fitted-prior"):
         cli.main(["generate", "--n", "1", "--quiet", "--save-prior", str(p)])
+
+
+def test_prior_save_load_extensionless_path(tmp_path):
+    """save_prior normalizes the path to .npz BEFORE saving, so a round trip
+    through an extension-less path works (np.savez would otherwise write a
+    different file than load_prior opens)."""
+    from dxvae_tpu.models.prior import fit_gmm, load_prior, save_prior
+
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(0), (64, 16)))
+    prior = fit_gmm(z, n_components=4, n_iters=5)
+    save_prior(str(tmp_path / "gmm_noext"), prior)
+    got = load_prior(str(tmp_path / "gmm_noext"))
+    np.testing.assert_array_equal(np.asarray(got.means), np.asarray(prior.means))

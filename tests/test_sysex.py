@@ -327,3 +327,48 @@ def test_project_topology_minimal_hamming_and_tiebreak():
     proj_v, k_v = project_topology(ALGO_ADJ.astype(np.float32))
     np.testing.assert_array_equal(proj_v, ALGO_ADJ.astype(np.float32))
     np.testing.assert_array_equal(k_v, np.arange(32))
+
+
+def test_read_syx_bytes_rejects_foreign_header():
+    """A 4104-byte SysEx that is NOT a DX7 32-voice bulk dump (wrong vendor,
+    wrong format, non-zero sub-status) must raise, not bit-slice into
+    garbage tensors — the HTTP serving path feeds user uploads straight in.
+    A non-zero MIDI channel in the header's low nibble stays accepted."""
+    import pytest
+
+    from dxvae_tpu.data.sysex import HEADER, dx7_checksum, read_syx_bytes
+
+    payload = np.zeros(32 * 128, np.uint8)
+
+    def frame(header):
+        data = np.concatenate([header, payload,
+                               [np.uint8(dx7_checksum(payload))]]).astype(np.uint8)
+        return b"\xf0" + data.tobytes() + b"\xf7"
+
+    assert read_syx_bytes(frame(HEADER)).shape == (32, 128)
+    ch3 = HEADER.copy(); ch3[1] = 0x03  # sub-status 0, MIDI channel 3: valid
+    assert read_syx_bytes(frame(ch3)).shape == (32, 128)
+    for i, bad in ((0, 0x41), (1, 0x10), (2, 0x08), (3, 0x00), (4, 0x01)):
+        h = HEADER.copy(); h[i] = bad
+        with pytest.raises(ValueError, match="not a DX7"):
+            read_syx_bytes(frame(h))
+
+
+def test_dataset_indexing_contract(tmp_path):
+    """dataset[idx] is always a length-1 GraphBatch for ANY integer type,
+    and out-of-range indices raise like the reference's list-of-graphs."""
+    import pytest
+
+    from dxvae_tpu.data.dataset import DXDataset
+
+    ds = DXDataset("/root/reference/DX_data", save_dir=tmp_path, include="synprez")
+    for idx in (5, np.int64(5), np.int32(5)):
+        g = ds[idx]
+        assert len(g) == 1 and g.X.shape == (1, 7, 27), type(idx)
+    assert len(ds[-1]) == 1
+    with pytest.raises(IndexError):
+        ds[len(ds)]
+    with pytest.raises(IndexError):
+        ds[-len(ds) - 1]
+    with pytest.raises(ValueError, match="include"):
+        DXDataset("/root/reference/DX_data", save_dir=tmp_path, include="Synprez")
