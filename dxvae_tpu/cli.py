@@ -16,7 +16,7 @@ import argparse
 
 import numpy as np
 
-from dxvae_tpu.api import DXVAE, DXDataset, graph_to_syx
+from dxvae_tpu.api import DXVAE, DXDataset
 from dxvae_tpu.graph import GraphBatch
 from dxvae_tpu.utils.config import TrainConfig
 
@@ -26,7 +26,9 @@ def print_data(G: GraphBatch) -> None:
     for idx in range(len(G)):
         print(f"#{idx} Params:\n", G.params[idx])
         src, dst = np.nonzero(G.adj[idx] > 0.5)
-        print(f"#{idx} Edges:\n", (list(src), list(dst)), "\n")
+        # .tolist(): numpy>=2 scalar reprs (np.int64(3)) would break the
+        # readable dump contract (main.py:6-9)
+        print(f"#{idx} Edges:\n", (src.tolist(), dst.tolist()), "\n")
 
 
 def _load_graphs(args) -> GraphBatch:
@@ -113,21 +115,20 @@ def interpolate(G, a=0, b=1, steps=32, chk=None, seed=0, out=None,
         print("edge count along path:",
               G_path.adj.sum(axis=(1, 2)).astype(int).tolist())
     if out:
+        from pathlib import Path as _P
+
+        from dxvae_tpu.serving import bank_bytes
+
         for k in range(-(-steps // 32)):
             win = GraphBatch(*(np.asarray(f)[k * 32:(k + 1) * 32]
                                for f in G_path))
-            if len(win.X) < 32:
-                pad = 32 - len(win.X)
-                win = GraphBatch(*(np.concatenate(
-                    [f, np.repeat(f[-1:], pad, axis=0)]) for f in win))
             if steps <= 32:
                 path = out
             else:
-                from pathlib import Path as _P
-
                 p = _P(out)
                 path = str(p.with_name(f"{p.stem}_{k}{p.suffix or '.syx'}"))
-            graph_to_syx(win, path, checksum=checksum)
+            # bank_bytes pads a short final chunk by repeating its last patch
+            _P(path).write_bytes(bank_bytes(win, checksum=checksum))
             print(f"wrote {path}")
     return G_path
 
@@ -496,16 +497,24 @@ def main(argv=None) -> int:
                               seed=cfg.seed,
                               project_topology=args.project_topology,
                               fit_from=fit_from,
-                              n_components=args.fitted_prior or 32,
+                              n_components=(args.fitted_prior
+                                            if args.fitted_prior is not None
+                                            else 32),
                               prior_path=args.prior,
                               save_prior_path=args.save_prior,
                               temperature=args.temperature,
                               valid_only=args.valid_only)
         if args.out:
-            graph_to_syx(
-                G_gen, args.out,
-                checksum="computed" if args.computed_checksum else "parity",
-            )
+            # bank_bytes pads --n < 32 by repeating the last patch (the same
+            # convention as serve --out); at exactly 32 the bytes are
+            # identical to graph_to_syx's parity output
+            from pathlib import Path as _Path
+
+            from dxvae_tpu.serving import bank_bytes
+
+            _Path(args.out).write_bytes(bank_bytes(
+                G_gen,
+                checksum="computed" if args.computed_checksum else "parity"))
             print(f"wrote {args.out}")
     elif args.cmd == "interpolate":
         G = _load_graphs(args)
@@ -529,8 +538,17 @@ def main(argv=None) -> int:
             index = build_search_index(ds, args.checkpoint, cfg.seed,  # query
                                        model=model)
         if args.save_index is not None:
-            np.savez(args.save_index, **index)
-            print(f"wrote index {args.save_index} ({len(index['mu'])} patches)")
+            import os as _os
+
+            # np.savez appends .npz when missing — normalize FIRST so the
+            # printed path (and a later --index-file of it) names the real
+            # file; tmp+replace so a crash cannot publish a torn index
+            dst = (args.save_index if args.save_index.endswith(".npz")
+                   else args.save_index + ".npz")
+            tmp = f"{dst}.tmp.{_os.getpid()}.npz"
+            np.savez(tmp, **index)
+            _os.replace(tmp, dst)
+            print(f"wrote index {dst} ({len(index['mu'])} patches)")
         if args.query_bank is not None:
             from dxvae_tpu.data.sysex import read_syx, unpack_voices
 
@@ -591,6 +609,14 @@ def main(argv=None) -> int:
                 print_data(G_en)
                 print("[ Decode (served) ]")
                 print_data(G_de)
+            if args.out:  # same padded-bank convention as --op generate
+                from pathlib import Path as _Path
+
+                _Path(args.out).write_bytes(bank_bytes(
+                    G_de,
+                    checksum="computed" if args.computed_checksum else "parity",
+                ))
+                print(f"wrote {args.out}")
     elif args.cmd == "forward-test":
         G = _load_graphs(args)
         forward_test(G.slice(args.index, args.index + 1), args.checkpoint)

@@ -13,7 +13,7 @@ from __future__ import annotations
 import jax
 from jax.experimental import checkify
 
-CHECKS = checkify.float_checks | checkify.nan_checks | checkify.div_checks
+CHECKS = checkify.float_checks  # == nan_checks | div_checks already
 
 
 def checked(fn, checks=CHECKS):

@@ -62,13 +62,19 @@ CACHE_DIR = "/tmp/dxvae_xla_cache"  # default persistent-compile-cache path
 def enable_persistent_cache(path: str = CACHE_DIR) -> bool:
     """Enable JAX's persistent compilation cache (cross-process): first
     compiles of the big unrolled programs drop from minutes to seconds on
-    re-runs.  Must be called before any JAX computation; returns False if the
-    backends were already initialized."""
+    re-runs.  Call before the computations you want cached — programs
+    compiled earlier in the process are not retroactively cached (the config
+    update itself succeeds either way).  Returns False (with a stderr note)
+    only if the config update fails, e.g. a jax build without the option."""
+    import sys
+
     import jax
 
     try:
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         return True
-    except Exception:
+    except Exception as e:  # misconfiguration must be diagnosable, not silent
+        print(f"# warning: persistent compile cache disabled ({e!r})",
+              file=sys.stderr)
         return False

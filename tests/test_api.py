@@ -137,12 +137,18 @@ def test_cli_workflows(tmp_path):
     )
     out = tmp_path / "cli_gen.syx"
     r = subprocess.run(
-        [sys.executable, "-c", env_code, "generate", "--n", "32", "--quiet",
+        [sys.executable, "-c", env_code, "generate", "--n", "1", "--quiet",
          "--out", str(out), "--raw-dir", "/root/reference/DX_data"],
         capture_output=True, text=True, cwd="/root/repo", timeout=600,
     )
     assert r.returncode == 0, r.stderr[-2000:]
+    # --n 1 pads to a full 32-voice bank by repeating the patch (used to
+    # crash: graph_to_syx requires exactly 32)
     assert out.exists() and out.stat().st_size == 4104
+    from dxvae_tpu.data.sysex import read_syx
+
+    raw = read_syx(out)
+    assert raw.shape == (32, 128) and (raw[1:] == raw[0]).all()
 
     r = subprocess.run(
         [sys.executable, "-c", env_code, "print-data", "--raw-dir",
@@ -151,6 +157,7 @@ def test_cli_workflows(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "#0 Params:" in r.stdout and "#0 Edges:" in r.stdout
+    assert "np.int" not in r.stdout  # numpy>=2 scalar reprs would break the dump
 
 
 def test_cli_interpolate(dataset, tmp_path):
@@ -246,6 +253,17 @@ def test_cli_search_index_roundtrip(dataset, tmp_path, capsys):
     assert hits == direct
     out = capsys.readouterr().out
     assert "idx 7" in out and dataset.files[0].name in out
+
+    # the CLI --save-index normalizes an extension-less path to .npz and
+    # prints the REAL filename (np.savez appends .npz silently otherwise)
+    from dxvae_tpu.cli import main
+
+    noext = tmp_path / "idx_noext"
+    assert main(["search", "--save-index", str(noext), "--index", "7",
+                 "--k", "3", "--raw-dir", str(dataset.raw_dir)]) == 0
+    out = capsys.readouterr().out
+    assert f"wrote index {noext}.npz" in out
+    assert (tmp_path / "idx_noext.npz").exists() and not noext.exists()
 
 
 def test_cli_generate_temperature():

@@ -174,9 +174,15 @@ def test_serve_cli_generate_and_roundtrip(bundle, dataset, tmp_path, capsys):
     # prior mode name is honored (tiny bundle has no fitted prior)
     with pytest.raises(ValueError, match="no fitted prior"):
         main(["serve", "--bundle", str(path), "--prior", "fitted", "--quiet"])
+    rt_out = tmp_path / "served_rt.syx"
     assert main(["serve", "--bundle", str(path), "--op", "roundtrip",
-                 "--raw-dir", str(dataset.raw_dir), "--index", "1"]) == 0
-    assert "[ Decode (served) ]" in capsys.readouterr().out
+                 "--raw-dir", str(dataset.raw_dir), "--index", "1",
+                 "--out", str(rt_out)]) == 0
+    captured = capsys.readouterr().out
+    assert "[ Decode (served) ]" in captured
+    # --op roundtrip honors --out with the same padded-bank convention
+    assert f"wrote {rt_out}" in captured
+    assert read_syx(rt_out).shape == (32, 128)
 
 
 def test_http_serving_endpoints(bundle, tmp_path):
