@@ -100,9 +100,18 @@ def _supervise(argv: list[str], deadline_s: float, retries: int,
             [sys.executable, os.path.abspath(__file__), *argv,
              "--progress-file", progress_path],
         )
+        crashed = False
         try:
             child.wait(timeout=deadline_s)
-            return child.returncode
+            if child.returncode == 0:
+                return 0  # clean exit: the child printed the JSON itself
+            # a crashing child (tunnel RPC error, post-measurement
+            # calibration failure, ...) must get the SAME salvage/retry
+            # treatment as a deadline kill — otherwise bench exits with no
+            # artifact even when a completed record sits in the progress file
+            crashed = True
+            print(f"# WARNING: measurement child exited {child.returncode}; "
+                  "salvaging completed records", file=sys.stderr)
         except subprocess.TimeoutExpired:
             child.kill()
             child.wait()
@@ -112,15 +121,17 @@ def _supervise(argv: list[str], deadline_s: float, retries: int,
             except (OSError, ValueError):
                 lines = []
             os.unlink(progress_path)
+        why = "child crashed" if crashed else f"deadline {deadline_s:.0f}s hit"
         record = next((l for l in reversed(lines) if l.get("type") == "record"), None)
-        estimates = sorted(l["per_iter_s"] for l in lines if l.get("type") == "estimate")
+        estimates = sorted(l["per_iter_s"] for l in lines
+                           if l.get("type") == "estimate" and l["per_iter_s"] > 0)
         if record is not None:
             record.pop("type")
-            record["partial"] = True  # deadline hit during/after calibration
+            record["partial"] = True  # interrupted during/after calibration
             print(json.dumps(record))
-            print(f"# WARNING: deadline {deadline_s:.0f}s hit after the "
-                  "measurement completed (calibration lost); emitting the "
-                  "measured record", file=sys.stderr)
+            print(f"# WARNING: {why} after the measurement completed "
+                  "(calibration lost); emitting the measured record",
+                  file=sys.stderr)
             return 0
         if len(estimates) >= 2:
             # enough completed two-K estimates for a median-of-what-finished
@@ -137,12 +148,11 @@ def _supervise(argv: list[str], deadline_s: float, retries: int,
                 "partial": True,
                 "estimates_completed": len(estimates),
             }))
-            print(f"# WARNING: deadline {deadline_s:.0f}s hit; emitting the "
-                  f"median of {len(estimates)} completed estimates",
-                  file=sys.stderr)
+            print(f"# WARNING: {why}; emitting the median of "
+                  f"{len(estimates)} completed estimates", file=sys.stderr)
             return 0
-        print(f"# WARNING: deadline {deadline_s:.0f}s hit with no completed "
-              f"measurement (tunnel stall?); attempt {attempt + 1}/{retries + 1}",
+        print(f"# WARNING: {why} with no completed measurement "
+              f"(tunnel stall?); attempt {attempt + 1}/{retries + 1}",
               file=sys.stderr)
     # no measurement possible: still emit ONE self-explanatory JSON line so
     # the recorded artifact says WHY there is no number (a dead tunnel is an
@@ -241,13 +251,9 @@ def main() -> int:
 
     ds = DXDataset(args.raw_dir or default_raw_dir(),
                    save_dir="/tmp/dxvae_bench_cache", include="synprez")
-    b = ds.batch
     n = args.batch
-    reps = int(np.ceil(n / len(b.X)))
-    X = np.tile(b.X, (reps, 1, 1))[:n]
-    adj = np.tile(b.adj, (reps, 1, 1))[:n].astype(np.float32)
-
-    X, adj = jnp.asarray(X), jnp.asarray(adj.astype(np.float32))
+    b = ds.batch.tile_to(n)  # cycle the 1024-patch corpus to the batch size
+    X, adj = jnp.asarray(b.X), jnp.asarray(b.adj)
 
     # traced trip count: ONE compiled program serves every K, so the two-K
     # difference cancels fixed overheads exactly; every mode carries a data
@@ -319,6 +325,12 @@ def main() -> int:
             "the default --batch 1024 --k-lo 2 --k-hi 10 for quotable numbers",
             file=sys.stderr,
         )
+    if per_iter <= 0:
+        # a negative/zero median would emit a garbage (negative) artifact or
+        # divide by zero; exit nonzero so the supervisor retries/salvages
+        print("# ERROR: non-positive median per-iteration time; no record",
+              file=sys.stderr)
+        return 4
     pps = n / per_iter
 
     # b1024 roundtrip = driver contract

@@ -66,6 +66,18 @@ class GraphBatch(NamedTuple):
             np.concatenate([b.adj for b in batches]),
         )
 
+    def tile_to(self, n: int) -> "GraphBatch":
+        """Cycle the batch up (or slice it down) to exactly ``n`` patches —
+        the benchmark idiom for running an arbitrary batch size over a
+        fixed-size corpus.  Adjacency is returned as float32 (what the model
+        consumes)."""
+        reps = -(-n // len(self))
+        return GraphBatch(
+            X=np.tile(np.asarray(self.X), (reps, 1, 1))[:n],
+            params=np.tile(np.asarray(self.params), (reps, 1, 1))[:n],
+            adj=np.tile(np.asarray(self.adj, np.float32), (reps, 1, 1))[:n],
+        )
+
 
 # namedtuple's default _make validates ``len(result) == 3``, but
 # ``GraphBatch.__len__`` is the BATCH size — without this override

@@ -68,11 +68,10 @@ def main():
                       functions=("roundtrip",), platforms=(platform,))
     ds = DXDataset(args.raw_dir or default_raw_dir(),
                    save_dir="/tmp/dxvae_bench_cache", include="synprez")
-    b = ds.batch
     n = args.batch
-    reps = int(np.ceil(n / len(b.X)))
-    X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[:n], jnp.float32)
-    adj = jnp.asarray(np.tile(b.adj, (reps, 1, 1))[:n], jnp.float32)
+    b = ds.batch.tile_to(n)
+    X = jnp.asarray(b.X, jnp.float32)
+    adj = jnp.asarray(b.adj, jnp.float32)
 
     if args.http:
         # per-request wall timing is valid here (unlike the tunnel caveat):

@@ -30,12 +30,10 @@ def main():
     from dxvae_tpu.parallel.train import init_train_state, make_optimizer
 
     cfg = DXVAEConfig(compute_dtype=args.dtype, unroll=not args.scan)
-    b = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_tb_cache", include="synprez").batch
     n = args.batch
-    reps = -(-n // len(b.X))
-    X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[:n])
-    P = jnp.asarray(np.tile(b.params, (reps, 1, 1))[:n])
-    A = jnp.asarray(np.tile(b.adj, (reps, 1, 1))[:n].astype(np.float32))
+    b = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_tb_cache",
+                  include="synprez").batch.tile_to(n)
+    X, P, A = jnp.asarray(b.X), jnp.asarray(b.params), jnp.asarray(b.adj)
 
     opt = make_optimizer(1e-3)
     state = init_train_state(jax.random.PRNGKey(0), opt, cfg)

@@ -32,6 +32,9 @@ def main():
     args = ap.parse_args()
 
     from dxvae_tpu.data.dataset import default_raw_dir
+    from dxvae_tpu.utils.profiling import enable_persistent_cache
+
+    enable_persistent_cache()  # unrolled-decode first compile takes minutes
     ds = DXDataset(args.raw_dir or default_raw_dir(),
                    save_dir="/tmp/dx_demo_cache", include="synprez")
     interpolate(ds.batch, args.a, args.b, args.steps, args.checkpoint,

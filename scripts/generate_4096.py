@@ -51,7 +51,11 @@ def main():
     )
 
     dec = jax.jit(lambda p, z: decode(p, z, cfg))
-    dec(params, z)  # warm up: compile outside the timed region (CLAUDE.md)
+    # warm up AND read back: compile outside the timed region, and fence the
+    # warmup's device execution — without the readback it would still be
+    # running when t0 starts (block_until_ready does not block on the
+    # tunnel, CLAUDE.md) and the timed region would include both decodes
+    np.asarray(dec(params, z)[1])
     t0 = time.time()
     X, P, adj = dec(params, z)
     P = np.asarray(P).astype(np.int32)  # host readback = the sync fence
@@ -61,9 +65,14 @@ def main():
           f"host-transfer cost) on {len(mesh.devices.flat)} device(s)")
 
     os.makedirs(args.out_dir, exist_ok=True)
-    for k in range(args.n // 32):
-        params_to_syx_file(P[k * 32 : (k + 1) * 32], f"{args.out_dir}/bank_{k:03d}.syx")
-    print(f"wrote {args.n // 32} banks to {args.out_dir}/")
+    n_banks = -(-args.n // 32)  # pad the final short bank (bank_bytes rule)
+    for k in range(n_banks):
+        chunk = P[k * 32 : (k + 1) * 32]
+        if len(chunk) < 32:
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], 32 - len(chunk), axis=0)])
+        params_to_syx_file(chunk, f"{args.out_dir}/bank_{k:03d}.syx")
+    print(f"wrote {n_banks} banks to {args.out_dir}/")
     algs, counts = np.unique(P[:, 0, 18], return_counts=True)
     print(f"algorithm coverage: {len(algs)}/32 distinct")
 

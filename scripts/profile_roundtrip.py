@@ -35,10 +35,9 @@ def main():
     cfg = DXVAEConfig(compute_dtype=args.dtype)
     params = init_params(jax.random.PRNGKey(0), cfg)
     ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_prof_cache", include="synprez")
-    b = ds.batch
-    reps = -(-args.batch // len(b.X))
-    X = jnp.asarray(np.tile(b.X, (reps, 1, 1))[: args.batch])
-    adj = jnp.asarray(np.tile(b.adj, (reps, 1, 1))[: args.batch].astype(np.float32))
+    b = ds.batch.tile_to(args.batch)
+    X = jnp.asarray(b.X)
+    adj = jnp.asarray(b.adj)
 
     @jax.jit
     def roundtrip(params, X, adj):

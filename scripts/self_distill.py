@@ -112,22 +112,27 @@ def main():
             .all(axis=(2, 3)).any(axis=1).mean()), 4)
         print(json.dumps({"arm": arm, **rec}), flush=True)
 
-    # synthetic corpus from the SHIPPED model (the same for every arm)
-    gen_model = fresh()
-    gen_model._key = jax.random.PRNGKey(7)
-    gen_model.fit_prior(train.batch)
-    if args.mode == "projected":
-        synth = gen_model.generate(args.n_synth, prior="fitted",
-                                   project_topology=True)
-    else:
-        # rejection-sample free decodes whose topology is already a valid
-        # algorithm — params and topology are the model's own consistent
-        # output (api.generate(valid_only=True); the alg byte is synced to
-        # the matched routing, so the alg head sees no label noise)
-        synth = gen_model.generate(args.n_synth, prior="fitted",
-                                   valid_only=True, max_rounds=256)
-    print(f"# synthetic corpus: {len(synth.X)} {args.mode} fitted-prior "
-          f"samples", file=sys.stderr)
+    # synthetic corpus from the SHIPPED model (the same for every arm) —
+    # the most expensive stage, so only built when the distill arm runs
+    # (partial --arms runs exist precisely because tunnel stalls reap long
+    # runs; they must not pay for a corpus they never use)
+    synth = None
+    if "distill" in arms:
+        gen_model = fresh()
+        gen_model._key = jax.random.PRNGKey(7)
+        gen_model.fit_prior(train.batch)
+        if args.mode == "projected":
+            synth = gen_model.generate(args.n_synth, prior="fitted",
+                                       project_topology=True)
+        else:
+            # rejection-sample free decodes whose topology is already a
+            # valid algorithm — params and topology are the model's own
+            # consistent output (api.generate(valid_only=True); the alg byte
+            # is synced to the matched routing: no label noise for the head)
+            synth = gen_model.generate(args.n_synth, prior="fitted",
+                                       valid_only=True, max_rounds=256)
+        print(f"# synthetic corpus: {len(synth.X)} {args.mode} fitted-prior "
+              f"samples", file=sys.stderr)
 
     if "base" in arms:
         measure(fresh(), "base")
@@ -135,10 +140,17 @@ def main():
     import contextlib
 
     def finetune(model, G, epochs):
-        # silence the per-batch reference-contract stdout lines
+        # silence the per-batch reference-contract stdout lines.
+        # w_env=3/w_frq=6 match the recipe that trained the default
+        # checkpoint (scripts/train_best.py) — falling back to the api
+        # defaults (2/5) would shift the objective mid-training and
+        # confound the "more training" control arm with a loss-weight
+        # change.  NOTE: the recorded round-3 negative result ran with the
+        # api defaults; this fix applies to reruns
         with open(os.devnull, "w") as sink, contextlib.redirect_stdout(sink):
             model.train(G, epochs=epochs, size_batch=args.size_batch,
-                        lr=args.lr, w_kld=args.w_kld, shuffle_seed=11)
+                        lr=args.lr, w_env=3.0, w_frq=6.0, w_kld=args.w_kld,
+                        shuffle_seed=11)
 
     if "real" in arms:
         real_ft = fresh()

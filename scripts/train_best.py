@@ -82,5 +82,9 @@ for epoch in range(EPOCHS):
     if epoch % 500 == 0 or epoch == EPOCHS - 1:
         print(f"epoch {epoch}: loss {float(last['loss']):.4f} "
               f"(wall {time.time()-t0:.0f}s)", flush=True)
+        # periodic checkpoint on the same cadence: the tunnel can stall/reap
+        # multi-hour runs, and losing 5000 epochs to a crash at 4999 is the
+        # failure mode api.DXVAE.train's save_every exists for
+        save_checkpoint(args.checkpoint, state.params, params_only=True)
 save_checkpoint(args.checkpoint, state.params, params_only=True)
 print(f"done in {time.time()-t0:.0f}s; final loss {float(last['loss']):.4f}")

@@ -372,3 +372,16 @@ def test_dataset_indexing_contract(tmp_path):
         ds[-len(ds) - 1]
     with pytest.raises(ValueError, match="include"):
         DXDataset("/root/reference/DX_data", save_dir=tmp_path, include="Synprez")
+
+
+def test_graphbatch_tile_to():
+    from dxvae_tpu.graph import GraphBatch
+
+    g = GraphBatch(X=np.arange(3 * 7 * 27, dtype=np.float32).reshape(3, 7, 27),
+                   params=np.arange(3 * 7 * 21, dtype=np.int32).reshape(3, 7, 21),
+                   adj=np.zeros((3, 7, 7), bool))
+    t = g.tile_to(8)
+    assert len(t) == 8 and t.adj.dtype == np.float32
+    np.testing.assert_array_equal(t.X[3:6], g.X)      # cycles the corpus
+    np.testing.assert_array_equal(t.X[6:8], g.X[:2])  # partial final cycle
+    assert len(g.tile_to(2)) == 2                     # slice-down case
