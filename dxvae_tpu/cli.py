@@ -251,6 +251,14 @@ def build_parser() -> argparse.ArgumentParser:
                                  "and --process-id)")
             sp.add_argument("--num-processes", type=int, default=None)
             sp.add_argument("--process-id", type=int, default=None)
+            sp.add_argument("--augment-orbit", type=int, default=None,
+                            nargs="?", const=-1, metavar="CAP",
+                            help="expand the training set with operator-"
+                                 "permuted copies along each patch's "
+                                 "algorithm automorphisms (acoustically "
+                                 "identical, different node order); CAP "
+                                 "caps copies per patch, bare flag = full "
+                                 "orbit (beyond-reference)")
 
     common(sub.add_parser("train-new", help="train from scratch (main.py:12)"), train=True)
     common(sub.add_parser("train-on", help="resume from checkpoint (main.py:18)"), train=True)
@@ -448,6 +456,7 @@ def main(argv=None) -> int:
     for flag in (
         "raw_dir", "checkpoint", "seed", "epochs", "size_batch", "lr",
         "w_env", "w_frq", "w_kld", "metrics_csv", "n_data", "n_model",
+        "augment_orbit",
     ):
         v = getattr(args, flag, None)
         if v is not None:
@@ -472,6 +481,16 @@ def main(argv=None) -> int:
 
     if args.cmd in ("train-new", "train-on"):
         G = _load_graphs(args)
+        if cfg.augment_orbit is not None:
+            from dxvae_tpu.data.algorithms import orbit_augment
+
+            n0 = len(G)
+            G = orbit_augment(
+                G,
+                max_per_patch=(None if cfg.augment_orbit < 0
+                               else cfg.augment_orbit),
+                seed=cfg.seed)
+            print(f"orbit augmentation: {n0} -> {len(G)} patches")
         fn = train_new if args.cmd == "train-new" else train_on
         fn(
             G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,

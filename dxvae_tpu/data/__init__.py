@@ -4,7 +4,14 @@ Replaces the reference's mido + DGL data stack (dxdata.py) with a pure-NumPy,
 fully vectorized codec producing dense tensors ready for the TPU model.
 """
 
-from dxvae_tpu.data.algorithms import ALGO_ADJ, ALGO_EDGES, N_ALGORITHMS, N_NODES
+from dxvae_tpu.data.algorithms import (
+    ALGO_ADJ,
+    ALGO_EDGES,
+    N_ALGORITHMS,
+    N_NODES,
+    automorphisms,
+    orbit_augment,
+)
 from dxvae_tpu.data.sysex import (
     read_syx,
     write_syx,
@@ -22,6 +29,8 @@ __all__ = [
     "ALGO_EDGES",
     "N_ALGORITHMS",
     "N_NODES",
+    "automorphisms",
+    "orbit_augment",
     "read_syx",
     "write_syx",
     "unpack_voices",

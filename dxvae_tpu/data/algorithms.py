@@ -16,6 +16,9 @@ batch of graphs is a single gather ``ALGO_ADJ[alg_bytes]``.
 
 from __future__ import annotations
 
+import itertools
+from functools import lru_cache
+
 import numpy as np
 
 N_NODES = 7
@@ -120,6 +123,84 @@ def project_topology(adj: np.ndarray, alg_scores: np.ndarray | None = None):
         score = d
     k = np.argmin(score, axis=-1)
     return table[k], k.astype(np.int64)
+
+
+@lru_cache(maxsize=None)
+def automorphisms(alg: int) -> np.ndarray:
+    """All operator permutations under which algorithm ``alg``'s routing is
+    invariant: ``(n_auto, 7) int64``, each row a node permutation ``p`` with
+    ``p[0] == 0`` (the global node is fixed) and ``adj[p][:, p] == adj``.
+
+    Row 0 is always the identity (enumeration is lexicographic).  These are
+    the graph automorphisms of the hardware routing: relabeling operators
+    along one yields a patch that synthesizes *identical audio* (every per-op
+    parameter travels with its operator; the DX7's six operators are
+    interchangeable hardware), yet presents differently to an
+    order-sensitive model.  19 of the 32 algorithms have a non-trivial
+    group — sizes 2..120, e.g. algorithm 32's five interchangeable parallel
+    carriers give 5! = 120 (beyond-reference; the reference never exploits
+    this symmetry).
+    """
+    adj = ALGO_ADJ[alg]
+    perms = [
+        (0,) + p
+        for p in itertools.permutations(range(1, N_NODES))
+        if np.array_equal(adj[np.ix_((0,) + p, (0,) + p)], adj)
+    ]
+    out = np.array(perms, dtype=np.int64)
+    out.setflags(write=False)
+    return out
+
+
+def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
+                  include_original: bool = True):
+    """Expand a batch with operator-permuted copies along each patch's
+    algorithm automorphism group (beyond-reference data augmentation).
+
+    Each copy gathers the node rows of ``X``/``params`` by an automorphism of
+    the patch's routing, so its adjacency — and hence its algorithm — is
+    EXACTLY unchanged while the operator order differs: an acoustically
+    identical presentation the encoder/decoder (which process nodes in a
+    fixed index order) see as a new training example.  Patches whose
+    topology matches no DX7 algorithm contribute no copies.
+
+    ``max_per_patch`` caps copies per patch (sampled per-patch without
+    replacement; the orbit sizes are highly skewed — algorithm 32 alone has
+    119 non-identity automorphisms); ``None`` emits the full orbit.
+    Returns a :class:`GraphBatch` of the originals (when
+    ``include_original``) followed by the copies, grouped by algorithm.
+    """
+    from dxvae_tpu.graph import GraphBatch
+
+    X = np.asarray(G.X)
+    P = np.asarray(G.params)
+    A = np.asarray(G.adj)
+    if max_per_patch is not None and max_per_patch < 0:
+        raise ValueError(f"max_per_patch must be >= 0, got {max_per_patch}")
+    match = match_algorithm(A)
+    rng = np.random.default_rng(seed)
+    xs = [X] if include_original else []
+    ps = [P] if include_original else []
+    adjs = [A] if include_original else []
+    for alg in np.unique(match[match >= 0]):
+        autos = automorphisms(int(alg))[1:]  # identity dropped
+        rows = np.flatnonzero(match == alg)
+        n_p, n_a = len(rows), len(autos)
+        c = n_a if max_per_patch is None else min(max_per_patch, n_a)
+        if c == 0:
+            continue
+        # per-patch independent subsets of the orbit (argsort of uniforms =
+        # a random c-permutation prefix per row, no replacement)
+        choice = np.argsort(rng.random((n_p, n_a)), axis=1)[:, :c]  # (n_p, c)
+        perms = autos[choice]  # (n_p, c, 7)
+        bi = np.arange(n_p)[:, None, None]
+        xs.append(X[rows][bi, perms].reshape(n_p * c, *X.shape[1:]))
+        ps.append(P[rows][bi, perms].reshape(n_p * c, *P.shape[1:]))
+        adjs.append(np.repeat(A[rows], c, axis=0))  # invariant by construction
+    if not xs:
+        return GraphBatch(X=X[:0], params=P[:0], adj=A[:0])
+    return GraphBatch(X=np.concatenate(xs), params=np.concatenate(ps),
+                      adj=np.concatenate(adjs))
 
 
 def rejection_sample_valid(n, m, decode_round, max_rounds, hint):

@@ -36,6 +36,10 @@ class TrainConfig:
     # over the 'model' axis (parallel/mesh.py)
     n_model: int = 1
     metrics_csv: str | None = None
+    # operator-permutation data augmentation (data/algorithms.orbit_augment):
+    # None = off, -1 = full automorphism orbit, N >= 0 = at most N permuted
+    # copies per patch
+    augment_orbit: int | None = None
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

@@ -1,0 +1,155 @@
+"""Operator-permutation (algorithm-automorphism) data augmentation.
+
+Beyond-reference capability: ``data/algorithms.automorphisms`` enumerates the
+graph automorphisms of each DX7 routing, ``orbit_augment`` expands a batch
+with operator-permuted — acoustically identical — copies.  The reference has
+no augmentation of any kind (its corpus handling is dxdata.py:320-323).
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from dxvae_tpu.data.algorithms import (ALGO_ADJ, N_ALGORITHMS, automorphisms,
+                                       orbit_augment)
+from dxvae_tpu.graph import GraphBatch
+
+
+def test_automorphisms_are_exactly_the_invariant_permutations():
+    # brute-force recomputation over all 720 operator permutations, every
+    # algorithm: automorphisms() must return precisely the invariant set
+    for alg in range(N_ALGORITHMS):
+        adj = ALGO_ADJ[alg]
+        expect = [
+            (0,) + p
+            for p in itertools.permutations(range(1, 7))
+            if np.array_equal(adj[np.ix_((0,) + p, (0,) + p)], adj)
+        ]
+        got = automorphisms(alg)
+        assert got.tolist() == [list(p) for p in expect]
+        # identity first; every row a permutation of 0..6 fixing node 0
+        assert got[0].tolist() == [0, 1, 2, 3, 4, 5, 6]
+        assert (np.sort(got, axis=1) == np.arange(7)).all()
+        assert (got[:, 0] == 0).all()
+
+
+def test_automorphism_groups_known_sizes_and_closure():
+    # algorithm 32 (index 31): five interchangeable parallel carriers -> 5!
+    assert len(automorphisms(31)) == 120
+    # algorithm 31 (index 30): four interchangeable carriers -> 4!
+    assert len(automorphisms(30)) == 24
+    # a chain algorithm has no symmetry
+    assert len(automorphisms(0)) == 1
+    # group closure: composing any two automorphisms is an automorphism
+    for alg in (4, 18, 22, 30):
+        autos = {tuple(p) for p in automorphisms(alg).tolist()}
+        for p in list(autos)[:6]:
+            for q in list(autos)[:6]:
+                comp = tuple(np.asarray(p)[np.asarray(q)].tolist())
+                assert comp in autos
+
+
+def _batch_for(algs):
+    rng = np.random.default_rng(7)
+    B = len(algs)
+    X = rng.random((B, 7, 27)).astype(np.float32)
+    P = rng.integers(0, 99, (B, 7, 21)).astype(np.int32)
+    P[:, 0, 18] = algs
+    adj = ALGO_ADJ[np.asarray(algs)].astype(np.float32)
+    return GraphBatch(X=X, params=P, adj=adj)
+
+
+def test_orbit_augment_preserves_topology_and_operator_multiset():
+    algs = [31, 30, 23, 4, 0, 31]
+    G = _batch_for(algs)
+    aug = orbit_augment(G, max_per_patch=3, seed=0)
+    # originals ride in front, byte-identical
+    np.testing.assert_array_equal(aug.X[: len(G)], G.X)
+    np.testing.assert_array_equal(aug.params[: len(G)], G.params)
+    np.testing.assert_array_equal(aug.adj[: len(G)], G.adj)
+    # cap respected: algs 31/30/23 have >=3 non-identity autos, alg 4 has 1,
+    # alg 0 none
+    assert len(aug) == len(G) + 3 + 3 + 3 + 1 + 0 + 3
+    for i in range(len(G), len(aug)):
+        # every copy's topology is EXACTLY a valid algorithm (automorphism)
+        match = (aug.adj[i] == ALGO_ADJ.astype(np.float32)).all(axis=(1, 2))
+        assert match.any()
+        alg = int(np.flatnonzero(match)[0])
+        # ... and its source patch exists in the originals: same global row,
+        # same multiset of operator rows (a permutation, not a perturbation)
+        src = [j for j in range(len(G))
+               if np.array_equal(G.adj[j], aug.adj[i])
+               and np.array_equal(G.X[j, 0], aug.X[i, 0])
+               and np.array_equal(np.sort(G.X[j, 1:], axis=0),
+                                  np.sort(aug.X[i, 1:], axis=0))
+               and np.array_equal(np.sort(G.params[j, 1:], axis=0),
+                                  np.sort(aug.params[i, 1:], axis=0))]
+        assert src, f"augmented row {i} (alg {alg}) matches no original"
+        # alg param byte survives the permutation (row 0 is never permuted)
+        assert int(aug.params[i, 0, 18]) == int(G.params[src[0], 0, 18])
+
+
+def test_orbit_augment_full_orbit_and_determinism():
+    G = _batch_for([30])  # 23 non-identity automorphisms
+    full = orbit_augment(G, max_per_patch=None, seed=1)
+    assert len(full) == 1 + 23
+    # all copies distinct presentations (distinct permutations of random rows)
+    flat = full.X.reshape(len(full), -1)
+    assert len(np.unique(flat, axis=0)) == len(full)
+    a = orbit_augment(G, max_per_patch=5, seed=3)
+    b = orbit_augment(G, max_per_patch=5, seed=3)
+    np.testing.assert_array_equal(a.X, b.X)
+    np.testing.assert_array_equal(a.params, b.params)
+
+
+def test_orbit_augment_edge_cases():
+    # invalid topology contributes no copies
+    G = _batch_for([31])
+    bad = GraphBatch(X=G.X, params=G.params,
+                     adj=np.ones_like(G.adj))  # not a DX7 routing
+    aug = orbit_augment(bad, seed=0)
+    assert len(aug) == 1
+    np.testing.assert_array_equal(aug.adj, bad.adj)
+    # include_original=False emits copies only
+    only = orbit_augment(G, max_per_patch=2, seed=0, include_original=False)
+    assert len(only) == 2
+    # cap 0 = no copies; negative cap raises
+    assert len(orbit_augment(G, max_per_patch=0, seed=0)) == 1
+    with pytest.raises(ValueError):
+        orbit_augment(G, max_per_patch=-1)
+
+
+def test_cli_augment_orbit_wiring(monkeypatch, capsys):
+    """`train-new --augment-orbit CAP` expands the batch before training and
+    resolves through TrainConfig (flag > --config > default off)."""
+    import dxvae_tpu.cli as cli
+
+    G0 = _batch_for([31, 0])
+    seen = {}
+    monkeypatch.setattr(cli, "_load_graphs", lambda args: G0)
+    monkeypatch.setattr(cli, "train_new",
+                        lambda G, *a, **kw: seen.update(n=len(G)))
+    cli.main(["train-new", "--augment-orbit", "2", "--checkpoint", "x.npz"])
+    assert seen["n"] == 4  # alg 32 capped at 2 copies, chain alg 0 at 0
+    assert "orbit augmentation: 2 -> 4 patches" in capsys.readouterr().out
+    cli.main(["train-new", "--checkpoint", "x.npz"])  # default: off
+    assert seen["n"] == 2
+    cli.main(["train-new", "--augment-orbit", "--checkpoint", "x.npz"])
+    assert seen["n"] == 2 + 119 + 0  # bare flag = full orbit
+
+
+def test_orbit_augment_on_real_corpus_trains():
+    """Integration: augmenting the real 1024-patch corpus yields a batch the
+    model trains on (finite loss), and the expansion factor matches the
+    corpus's algorithm histogram."""
+    from dxvae_tpu.api import DXDataset, DXVAE
+
+    ds = DXDataset("/root/reference/DX_data", include="synprez")
+    G = orbit_augment(ds.batch, max_per_patch=2, seed=0)
+    counts = np.array([min(2, len(automorphisms(int(a))) - 1)
+                       for a in ds.batch.params[:, 0, 18]])
+    assert len(G) == len(ds) + counts.sum()
+    model = DXVAE(size_H=32, size_Z=8, unroll=False)
+    loss, *_ = model.forward(G[np.arange(0, len(G), max(1, len(G) // 16))])
+    assert np.isfinite(float(loss))
