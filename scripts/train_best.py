@@ -37,6 +37,13 @@ ap.add_argument("--anneal-frac", type=float, default=0.0,
                      "recipe for fitted-prior generation (docs/PERF.md)")
 ap.add_argument("--raw-dir", default=None,
                 help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
+ap.add_argument("--augment-orbit", type=int, default=None, nargs="?", const=-1,
+                metavar="CAP",
+                help="expand the training set with operator-permuted copies "
+                     "along each patch's algorithm automorphisms "
+                     "(data/algorithms.orbit_augment); CAP caps copies per "
+                     "patch, bare flag = full orbit.  For step-matched A/Bs "
+                     "scale --epochs down by the expansion factor")
 args = ap.parse_args()
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
@@ -44,10 +51,17 @@ cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
 ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_best_cache", include="synprez")
-X = np.asarray(ds.batch.X, np.float32)
-P = np.asarray(ds.batch.params, np.int32)
-A = np.asarray(ds.batch.adj, np.float32)
-n = len(ds)
+batch = ds.batch
+if args.augment_orbit is not None:
+    from dxvae_tpu.data.algorithms import orbit_augment
+    batch = orbit_augment(
+        batch,
+        max_per_patch=None if args.augment_orbit < 0 else args.augment_orbit)
+    print(f"orbit augmentation: {len(ds)} -> {len(batch.X)} patches")
+X = np.asarray(batch.X, np.float32)
+P = np.asarray(batch.params, np.int32)
+A = np.asarray(batch.adj, np.float32)
+n = len(X)
 iters = n // BATCH
 if iters == 0:
     raise SystemExit(f"--batch {BATCH} exceeds the {n}-patch dataset: zero steps per epoch")
