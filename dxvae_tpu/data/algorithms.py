@@ -153,7 +153,7 @@ def automorphisms(alg: int) -> np.ndarray:
 
 
 def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
-                  include_original: bool = True):
+                  include_original: bool = True, return_index: bool = False):
     """Expand a batch with operator-permuted copies along each patch's
     algorithm automorphism group (beyond-reference data augmentation).
 
@@ -169,6 +169,10 @@ def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
     119 non-identity automorphisms); ``None`` emits the full orbit.
     Returns a :class:`GraphBatch` of the originals (when
     ``include_original``) followed by the copies, grouped by algorithm.
+    With ``return_index`` also returns the ``(len(out),) int64`` row index
+    into ``G`` each output row was gathered from (originals map to
+    themselves), so callers can pair each permuted copy with its source —
+    e.g. the encoder-invariance metric in scripts/evaluate.py.
     """
     from dxvae_tpu.graph import GraphBatch
 
@@ -182,6 +186,7 @@ def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
     xs = [X] if include_original else []
     ps = [P] if include_original else []
     adjs = [A] if include_original else []
+    srcs = [np.arange(len(X), dtype=np.int64)] if include_original else []
     for alg in np.unique(match[match >= 0]):
         autos = automorphisms(int(alg))[1:]  # identity dropped
         rows = np.flatnonzero(match == alg)
@@ -197,10 +202,13 @@ def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
         xs.append(X[rows][bi, perms].reshape(n_p * c, *X.shape[1:]))
         ps.append(P[rows][bi, perms].reshape(n_p * c, *P.shape[1:]))
         adjs.append(np.repeat(A[rows], c, axis=0))  # invariant by construction
+        srcs.append(np.repeat(rows.astype(np.int64), c))
     if not xs:
-        return GraphBatch(X=X[:0], params=P[:0], adj=A[:0])
-    return GraphBatch(X=np.concatenate(xs), params=np.concatenate(ps),
-                      adj=np.concatenate(adjs))
+        out = GraphBatch(X=X[:0], params=P[:0], adj=A[:0])
+        return (out, np.zeros(0, dtype=np.int64)) if return_index else out
+    out = GraphBatch(X=np.concatenate(xs), params=np.concatenate(ps),
+                     adj=np.concatenate(adjs))
+    return (out, np.concatenate(srcs)) if return_index else out
 
 
 def rejection_sample_valid(n, m, decode_round, max_rounds, hint):

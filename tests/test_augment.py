@@ -120,6 +120,35 @@ def test_orbit_augment_edge_cases():
         orbit_augment(G, max_per_patch=-1)
 
 
+def test_orbit_augment_return_index_pairs_copies_with_sources():
+    algs = [31, 0, 30, 31]
+    G = _batch_for(algs)
+    aug, src = orbit_augment(G, max_per_patch=2, seed=5, return_index=True)
+    assert src.shape == (len(aug),) and src.dtype == np.int64
+    # originals map to themselves
+    np.testing.assert_array_equal(src[: len(G)], np.arange(len(G)))
+    for i in range(len(G), len(aug)):
+        j = int(src[i])
+        # each copy is EXACTLY a node permutation of its claimed source
+        assert np.array_equal(aug.adj[i], G.adj[j])
+        assert np.array_equal(aug.X[i, 0], G.X[j, 0])
+        assert np.array_equal(np.sort(aug.X[i, 1:], axis=0),
+                              np.sort(G.X[j, 1:], axis=0))
+        assert np.array_equal(np.sort(aug.params[i, 1:], axis=0),
+                              np.sort(G.params[j, 1:], axis=0))
+    # chain alg 0 contributes no copies; both alg-32 patches contribute 2
+    assert sorted(src[len(G):].tolist()) == [0, 0, 2, 2, 3, 3]
+    # copies-only mode still indexes into the ORIGINAL batch
+    only, src2 = orbit_augment(G, max_per_patch=1, seed=5,
+                               include_original=False, return_index=True)
+    assert len(only) == len(src2) == 3
+    assert set(src2.tolist()) == {0, 2, 3}
+    # empty-output path keeps the contract
+    bad = GraphBatch(X=G.X, params=G.params, adj=np.ones_like(G.adj))
+    none, src3 = orbit_augment(bad, include_original=False, return_index=True)
+    assert len(none) == 0 and src3.shape == (0,)
+
+
 def test_cli_augment_orbit_wiring(monkeypatch, capsys):
     """`train-new --augment-orbit CAP` expands the batch before training and
     resolves through TrainConfig (flag > --config > default off)."""
@@ -137,6 +166,32 @@ def test_cli_augment_orbit_wiring(monkeypatch, capsys):
     assert seen["n"] == 2
     cli.main(["train-new", "--augment-orbit", "--checkpoint", "x.npz"])
     assert seen["n"] == 2 + 119 + 0  # bare flag = full orbit
+
+
+def test_evaluate_symmetry_metrics():
+    """scripts/evaluate.py's encoder-invariance metric: finite, in range,
+    and correctly counts one pair per non-trivial-orbit patch."""
+    import importlib.util
+    import pathlib
+
+    from dxvae_tpu.api import DXVAE
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "eval_script", root / "scripts" / "evaluate.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    model = DXVAE(size_H=32, size_Z=8, unroll=False)
+    G = _batch_for([31, 0, 30, 4, 23, 31, 0, 18])
+    m = mod._symmetry_metrics(model, G)
+    assert m["n_pairs"] == 6  # the two chain (alg-0) patches have no orbit
+    assert -1.0 <= m["latent_cos_mean"] <= 1.0
+    assert m["pair_dist_over_interpatch"] >= 0.0
+    for k in ("param_acc_originals", "param_acc_permuted"):
+        assert 0.0 <= m[k] <= 1.0
+    # all-trivial-orbit batch: the degenerate path reports zero pairs
+    assert mod._symmetry_metrics(model, _batch_for([0, 0]))["n_pairs"] == 0
 
 
 def test_orbit_augment_on_real_corpus_trains():
