@@ -194,6 +194,38 @@ def test_evaluate_symmetry_metrics():
     assert mod._symmetry_metrics(model, _batch_for([0, 0]))["n_pairs"] == 0
 
 
+def test_ab_orbit_script_micro_run(tmp_path):
+    """scripts/ab_orbit.py end to end at micro scale: both arms train on a
+    step-matched budget, every run appends a JSON line with the evaluation
+    columns, and the aggregate covers both arms."""
+    import importlib.util
+    import json
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "ab_orbit", root / "scripts" / "ab_orbit.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    out = tmp_path / "ab.jsonl"
+    mod.main(["--size-h", "32", "--size-z", "8", "--no-unroll",
+              "--total-steps", "2", "--batch", "512", "--seeds", "1",
+              "--out", str(out)])
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["arm"] for r in rows] == ["baseline", "orbit"]
+    assert rows[1]["n_train"] > rows[0]["n_train"] == 1024
+    for r in rows:
+        for col in ("final_loss", "held_out.param_acc", "held_out_elbo",
+                    "symmetry.param_acc_permuted"):
+            assert np.isfinite(r[col]), col
+    # step-matched: both arms realized the same whole-epoch step budget
+    assert rows[0]["steps"] == 2 and rows[1]["steps"] in (2, 3)
+    agg = mod.aggregate(rows)
+    assert set(agg) == {"baseline", "orbit"}
+    assert agg["baseline"]["n_runs"] == agg["orbit"]["n_runs"] == 1
+
+
 def test_orbit_augment_on_real_corpus_trains():
     """Integration: augmenting the real 1024-patch corpus yields a batch the
     model trains on (finite loss), and the expansion factor matches the
