@@ -27,7 +27,7 @@ from dxvae_tpu.graph import GraphBatch
 
 
 def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
-    return {
+    out = {
         "alg_acc": float((G.params[:, 0, 18] == R.params[:, 0, 18]).mean()),
         "edge_acc": float((G.adj == R.adj).mean()),
         "topology_exact": float((G.adj == R.adj).all(axis=(1, 2)).mean()),
@@ -40,6 +40,37 @@ def reconstruction_metrics(G: GraphBatch, R: GraphBatch) -> dict:
         "env_param_acc": float((G.params[:, 1:, 1:9] == R.params[:, 1:, 1:9]).mean()),
         "freq_coarse_acc": float((G.params[:, 1:, 9] == R.params[:, 1:, 9]).mean()),
     }
+    out.update(orbit_aligned_metrics(G, R))
+    return out
+
+
+def orbit_aligned_metrics(G: GraphBatch, R: GraphBatch) -> dict:
+    """Acoustic reconstruction accuracy: the DX7's operators are
+    interchangeable hardware, so a reconstruction that permutes a patch's
+    operators along a topology automorphism synthesizes identical audio yet
+    scores ~0 under positionwise comparison.  Per patch, take the BEST param
+    match over all valid presentations of the truth
+    (data.algorithms.automorphisms of its stored algorithm); equals plain
+    param_acc for the 13/32 algorithms with a trivial group.  The reference
+    evaluates nothing at all (main.py prints params); positionwise accuracy
+    under-credits any model on the 19 symmetric algorithms."""
+    from dxvae_tpu.data.algorithms import automorphisms
+
+    T = np.asarray(G.params)
+    Rp = np.asarray(R.params)
+    best = (T == Rp).mean(axis=(1, 2))
+    exact = (T == Rp).all(axis=(1, 2))
+    for a in np.unique(np.asarray(T[:, 0, 18])):
+        autos = automorphisms(int(a))
+        if len(autos) == 1:
+            continue
+        rows = np.flatnonzero(T[:, 0, 18] == a)
+        per = T[rows][:, autos]                      # (n, n_auto, 7, P)
+        hit = per == Rp[rows][:, None]
+        best[rows] = np.maximum(best[rows], hit.mean(axis=(2, 3)).max(axis=1))
+        exact[rows] |= hit.all(axis=(2, 3)).any(axis=1)
+    return {"param_acc_orbit_aligned": float(best.mean()),
+            "params_exact_orbit_aligned": float(exact.mean())}
 
 
 def main():

@@ -194,6 +194,47 @@ def test_evaluate_symmetry_metrics():
     assert mod._symmetry_metrics(model, _batch_for([0, 0]))["n_pairs"] == 0
 
 
+def test_orbit_aligned_reconstruction_metrics():
+    """evaluate.py's acoustic accuracy: an operator-permuted reconstruction
+    scores 1.0 orbit-aligned (identical audio) while positionwise accuracy
+    drops; genuinely wrong params are NOT credited."""
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "eval_metrics", root / "scripts" / "evaluate.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    G = _batch_for([31, 0, 30, 4, 23, 31])
+    aug, src = orbit_augment(G, max_per_patch=1, seed=3,
+                             include_original=False, return_index=True)
+    # reconstruction = a valid permuted presentation of each symmetric patch
+    R = GraphBatch(X=G.X.copy(), params=G.params.copy(), adj=G.adj.copy())
+    R.params[src] = aug.params
+    R.X[src] = aug.X
+    m = mod.orbit_aligned_metrics(G, R)
+    assert m["param_acc_orbit_aligned"] == 1.0
+    assert m["params_exact_orbit_aligned"] == 1.0
+    plain = float((G.params == R.params).mean())
+    assert plain < 1.0  # positionwise metric under-credits the same patches
+    # identity reconstruction: both views agree at 1.0
+    ident = mod.orbit_aligned_metrics(G, G)
+    assert ident == {"param_acc_orbit_aligned": 1.0,
+                     "params_exact_orbit_aligned": 1.0}
+    # a real error stays an error in every presentation
+    W = GraphBatch(X=R.X, params=R.params.copy(), adj=R.adj)
+    W.params[:, 1:, 0] += 1
+    w = mod.orbit_aligned_metrics(G, W)
+    assert w["param_acc_orbit_aligned"] < 1.0
+    assert w["params_exact_orbit_aligned"] == 0.0
+    # and reconstruction_metrics carries the new keys
+    full = mod.reconstruction_metrics(G, R)
+    assert full["param_acc_orbit_aligned"] == 1.0
+    assert full["param_acc"] == plain
+
+
 def test_ab_orbit_script_micro_run(tmp_path):
     """scripts/ab_orbit.py end to end at micro scale: both arms train on a
     step-matched budget, every run appends a JSON line with the evaluation
