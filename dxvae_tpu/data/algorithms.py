@@ -211,6 +211,45 @@ def orbit_augment(G, max_per_patch: int | None = None, seed: int = 0,
     return (out, np.concatenate(srcs)) if return_index else out
 
 
+def canonicalize_orbit(G):
+    """Map every patch to ONE canonical presentation of its automorphism
+    orbit: the permutation (over ``automorphisms`` of its routing) whose
+    param matrix is lexicographically smallest, applied to ``X`` and
+    ``params`` together (adjacency is invariant by construction).
+
+    The complement of :func:`orbit_augment`: with a permutation-invariant
+    encoder all presentations of a patch share one latent, so augmentation
+    hands the decoder one-to-many targets while canonicalization collapses
+    them to exactly one — acoustically the same dataset (operator
+    relabelings synthesize identical audio), but a deterministic
+    presentation per sound.  Idempotent; patches with trivial orbits (or
+    non-DX7 topologies) pass through unchanged.  Row order is preserved.
+    """
+    from dxvae_tpu.graph import GraphBatch
+
+    X = np.asarray(G.X).copy()
+    P = np.asarray(G.params).copy()
+    A = np.asarray(G.adj)
+    match = match_algorithm(A)
+    for alg in np.unique(match[match >= 0]):
+        autos = automorphisms(int(alg))
+        if len(autos) == 1:
+            continue
+        rows = np.flatnonzero(match == alg)
+        per = P[rows][:, autos]  # (n, n_auto, 7, P)
+        # lexicographic argmin over the flattened param matrix: params are
+        # 7-bit, so a uint8 view compares in value order byte-by-byte
+        keys = np.ascontiguousarray(per.astype(np.uint8)).reshape(
+            len(rows), len(autos), -1)
+        best = np.array([min(range(len(autos)), key=lambda a: k[a].tobytes())
+                         for k in keys])
+        sel = autos[best]  # (n, 7)
+        bi = np.arange(len(rows))[:, None]
+        P[rows] = P[rows][bi, sel]
+        X[rows] = X[rows][bi, sel]
+    return GraphBatch(X=X, params=P, adj=A.copy())
+
+
 def rejection_sample_valid(n, m, decode_round, max_rounds, hint):
     """Shared core of ``valid_only`` generation (DXVAE.generate and
     ServedDXVAE.generate): call ``decode_round(r)`` (a GraphBatch of ``m``

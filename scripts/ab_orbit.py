@@ -1,8 +1,10 @@
 """Step-matched A/B: does operator-permutation orbit augmentation help?
 
-Trains {baseline, orbit-augmented} arms from identical inits on the SAME
-total optimizer-step budget (the augmented arm sees each unique patch
-proportionally fewer times but in permuted presentations), across N seeds,
+Trains {baseline, orbit-augmented, orbit-canonicalized} arms from identical
+inits on the SAME total optimizer-step budget (the augmented arm sees each
+unique patch proportionally fewer times but in permuted presentations; the
+canonical arm sees exactly one deterministic presentation per patch),
+across N seeds,
 then evaluates every run with the exact metrics of scripts/evaluate.py:
 held-out reconstruction, held-out ELBO, and the permutation-symmetry pair
 metrics.  Emits one JSON line per run plus a mean/std aggregate per arm.
@@ -37,7 +39,7 @@ enable_persistent_cache()
 import jax
 import optax
 
-from dxvae_tpu.data.algorithms import orbit_augment
+from dxvae_tpu.data.algorithms import canonicalize_orbit, orbit_augment
 from dxvae_tpu.data.dataset import DXDataset, default_raw_dir
 from dxvae_tpu.models import DXVAEConfig, LossWeights
 from dxvae_tpu.parallel.train import init_train_state, make_train_step
@@ -90,8 +92,11 @@ def main(argv=None):
     ap.add_argument("--cap", type=int, default=2,
                     help="orbit copies per patch in the augmented arm "
                          "(-1 = full orbit)")
-    ap.add_argument("--arms", default="baseline,orbit",
-                    help="comma list from {baseline, orbit}")
+    ap.add_argument("--arms", default="baseline,orbit,canonical",
+                    help="comma list from {baseline, orbit, canonical}: "
+                         "orbit = expanded with permuted copies (one-to-many "
+                         "decoder targets), canonical = every patch collapsed "
+                         "to its orbit's canonical presentation (one-to-one)")
     ap.add_argument("--no-unroll", action="store_true",
                     help="batched-cadence path (fast compile; CPU dev runs)")
     ap.add_argument("--raw-dir", default=None)
@@ -127,7 +132,7 @@ def main(argv=None):
 
     eval_step = make_eval_step(cfg)
     arms = [a.strip() for a in args.arms.split(",") if a.strip()]
-    unknown = set(arms) - {"baseline", "orbit"}
+    unknown = set(arms) - {"baseline", "orbit", "canonical"}
     if unknown:
         raise SystemExit(f"unknown arms: {sorted(unknown)}")
 
@@ -139,6 +144,8 @@ def main(argv=None):
                 cap = None if args.cap < 0 else args.cap
                 data = orbit_augment(train_ds.batch, max_per_patch=cap,
                                      seed=seed)
+            elif arm == "canonical":
+                data = canonicalize_orbit(train_ds.batch)
             else:
                 data = train_ds.batch
             params, steps, loss, wall = train_one(

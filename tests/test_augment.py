@@ -194,6 +194,39 @@ def test_evaluate_symmetry_metrics():
     assert mod._symmetry_metrics(model, _batch_for([0, 0]))["n_pairs"] == 0
 
 
+def test_canonicalize_orbit_properties():
+    """canonicalize_orbit: idempotent, presentation-invariant (every member
+    of a patch's orbit maps to the SAME canonical form), row-preserving, and
+    a pure node permutation of its input."""
+    from dxvae_tpu.data.algorithms import canonicalize_orbit
+
+    G = _batch_for([31, 0, 30, 4, 23, 31, 18])
+    C = canonicalize_orbit(G)
+    assert len(C) == len(G)
+    np.testing.assert_array_equal(C.adj, G.adj)
+    for i in range(len(G)):
+        # node multiset preserved; global node fixed
+        np.testing.assert_array_equal(C.params[i, 0], G.params[i, 0])
+        np.testing.assert_array_equal(np.sort(C.params[i, 1:], axis=0),
+                                      np.sort(G.params[i, 1:], axis=0))
+        np.testing.assert_array_equal(np.sort(C.X[i, 1:], axis=0),
+                                      np.sort(G.X[i, 1:], axis=0))
+    # idempotent
+    C2 = canonicalize_orbit(C)
+    np.testing.assert_array_equal(C2.params, C.params)
+    np.testing.assert_array_equal(C2.X, C.X)
+    # EVERY presentation of a patch canonicalizes identically: run the full
+    # orbit of each patch through and compare to its source's canonical form
+    aug, src = orbit_augment(G, max_per_patch=None, seed=0,
+                             include_original=False, return_index=True)
+    CA = canonicalize_orbit(aug)
+    np.testing.assert_array_equal(CA.params, C.params[src])
+    np.testing.assert_array_equal(CA.X, C.X[src])
+    # trivial-orbit patches (chain alg 0) pass through byte-identical
+    np.testing.assert_array_equal(C.params[1], G.params[1])
+    np.testing.assert_array_equal(C.X[1], G.X[1])
+
+
 def test_orbit_aligned_reconstruction_metrics():
     """evaluate.py's acoustic accuracy: an operator-permuted reconstruction
     scores 1.0 orbit-aligned (identical audio) while positionwise accuracy
