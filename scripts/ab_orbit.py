@@ -56,8 +56,11 @@ def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed):
     iters = n // batch_size
     if iters == 0:
         raise SystemExit(f"--batch {batch_size} exceeds the {n}-patch arm dataset")
-    epochs = max(1, total_steps // iters)
-    steps = epochs * iters
+    # never exceed the budget: whole epochs while they fit, else a partial
+    # epoch — a larger (augmented) arm must not quietly get extra steps in a
+    # step-matched comparison
+    steps = max(1, (total_steps // iters) * iters if iters <= total_steps
+                else total_steps)
     warmup = min(200, max(1, steps // 10))
     sched = optax.warmup_cosine_decay_schedule(0.0, peak_lr, warmup, steps,
                                                peak_lr * 1e-2)
@@ -68,12 +71,14 @@ def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed):
     key = jax.random.PRNGKey(seed + 1)
     t0 = time.time()
     last = None
-    for _ in range(epochs):
+    done = 0
+    while done < steps:
         perm = rng.permutation(n)
-        for i in range(iters):
+        for i in range(min(iters, steps - done)):
             idx = perm[i * batch_size : (i + 1) * batch_size]
             key, sub = jax.random.split(key)
             state, last = step(state, X[idx], P[idx], A[idx], sub)
+            done += 1
     loss = float(last["loss"])  # sync point: includes all device work
     return state.params, steps, loss, time.time() - t0
 
@@ -84,7 +89,9 @@ def main(argv=None):
     ap.add_argument("--size-z", type=int, default=128)
     ap.add_argument("--total-steps", type=int, default=12000,
                     help="optimizer-step budget per run (matched across arms; "
-                         "realized steps = budget rounded down to whole epochs)")
+                         "realized steps = budget rounded down to whole "
+                         "epochs, or a partial first epoch when one epoch "
+                         "already exceeds the budget — never more)")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--peak-lr", type=float, default=1e-3)
     ap.add_argument("--w-kld", type=float, default=0.002)
@@ -111,21 +118,18 @@ def main(argv=None):
                       unroll=not args.no_unroll)
     weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
-    raw_dir = args.raw_dir or default_raw_dir()
-    full = DXDataset(raw_dir, save_dir="/tmp/dx_ab_cache")
-    train_ds = DXDataset(raw_dir, save_dir="/tmp/dx_ab_cache", include="synprez")
-    train_keys = {bytes(p.tobytes()) for p in train_ds.batch.params}
-    held_idx = [i for i, p in enumerate(full.batch.params)
-                if bytes(p.tobytes()) not in train_keys]
-    held = full[np.asarray(held_idx)] if held_idx else None
-
-    # evaluate.py is the single source of the metric definitions
+    # evaluate.py is the single source of the metric + split definitions
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "dxvae_eval", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                    "evaluate.py"))
     ev = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(ev)
+
+    raw_dir = args.raw_dir or default_raw_dir()
+    full = DXDataset(raw_dir, save_dir="/tmp/dx_ab_cache")
+    train_ds = DXDataset(raw_dir, save_dir="/tmp/dx_ab_cache", include="synprez")
+    held = ev.held_out_split(full, train_ds)
 
     from dxvae_tpu.api import DXVAE
     from dxvae_tpu.parallel.train import make_eval_step
@@ -154,7 +158,7 @@ def main(argv=None):
 
             model = DXVAE(size_H=args.size_h, size_Z=args.size_z,
                           unroll=not args.no_unroll)
-            model.params = jax.tree.map(lambda a: a, params)
+            model.params = params
             rec = {}
             if held is not None and len(held):
                 rec["held_out"] = ev.reconstruction_metrics(
@@ -164,9 +168,10 @@ def main(argv=None):
                               np.asarray(held.params, np.int32),
                               np.asarray(held.adj, np.float32))
                 rec["held_out_elbo"] = round(float(m["loss"]), 4)
-            rec["train"] = ev.reconstruction_metrics(
-                train_ds.batch, model.encode_decode(train_ds.batch))
-            rec["symmetry"] = ev._symmetry_metrics(model, train_ds.batch)
+            R_train = model.encode_decode(train_ds.batch)
+            rec["train"] = ev.reconstruction_metrics(train_ds.batch, R_train)
+            rec["symmetry"] = ev._symmetry_metrics(model, train_ds.batch,
+                                                   R=R_train)
             row = {"arm": arm, "seed": seed, "n_train": int(len(data)),
                    "steps": steps, "final_loss": round(loss, 4),
                    "wall_s": round(wall, 1), **_flatten(rec)}
@@ -196,7 +201,8 @@ def _flatten(d, prefix=""):
 def aggregate(rows):
     """mean +/- std per arm for the headline columns."""
     cols = ["final_loss", "held_out_elbo", "held_out.param_acc",
-            "held_out.edge_acc", "train.param_acc",
+            "held_out.param_acc_orbit_aligned", "held_out.edge_acc",
+            "train.param_acc", "train.param_acc_orbit_aligned",
             "symmetry.param_acc_permuted", "symmetry.param_acc_originals"]
     agg = {}
     for arm in sorted({r["arm"] for r in rows}):

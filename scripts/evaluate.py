@@ -73,6 +73,17 @@ def orbit_aligned_metrics(G: GraphBatch, R: GraphBatch) -> dict:
             "params_exact_orbit_aligned": float(exact.mean())}
 
 
+def held_out_split(full: DXDataset, train: DXDataset):
+    """Voices of ``full`` absent from ``train`` byte-for-byte (with the
+    default datasets: the Dexed_01 bank the synprez subset excludes), or
+    ``None`` when nothing is held out.  Single source of the split for this
+    script and scripts/ab_orbit.py."""
+    train_keys = {bytes(p.tobytes()) for p in train.batch.params}
+    held_idx = [i for i, p in enumerate(full.batch.params)
+                if bytes(p.tobytes()) not in train_keys]
+    return full[np.asarray(held_idx)] if held_idx else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/dx_1024_xl.npz")
@@ -84,20 +95,19 @@ def main():
     full = DXDataset(raw_dir, save_dir="/tmp/dx_eval_cache")
     train = DXDataset(raw_dir, save_dir="/tmp/dx_eval_cache",
                       include="synprez")
-    # held-out = voices not in the synprez subset (the Dexed_01 bank)
-    train_keys = {bytes(p.tobytes()) for p in train.batch.params}
-    held_idx = [i for i, p in enumerate(full.batch.params)
-                if bytes(p.tobytes()) not in train_keys]
-    held = full[np.asarray(held_idx)] if held_idx else None
+    held = held_out_split(full, train)
 
     from dxvae_tpu.utils.checkpoint import infer_sizes
 
     size_h, size_z = infer_sizes(args.checkpoint)
     model = DXVAE(size_H=size_h, size_Z=size_z, checkpoint=args.checkpoint)
     report = {"checkpoint": args.checkpoint}
-    report["train"] = reconstruction_metrics(train.batch, model.encode_decode(train.batch))
+    R_train = model.encode_decode(train.batch)
+    report["train"] = reconstruction_metrics(train.batch, R_train)
+    R_held = None
     if held is not None and len(held):
-        report["held_out"] = reconstruction_metrics(held, model.encode_decode(held))
+        R_held = model.encode_decode(held)
+        report["held_out"] = reconstruction_metrics(held, R_held)
         report["held_out"]["n"] = len(held)
 
     # teacher-forced ELBO (eval mode: posterior mean, reference-default loss
@@ -137,10 +147,12 @@ def main():
 
     # encoder invariance under operator permutation — the symmetry the
     # --augment-orbit training option optimizes toward (acoustically
-    # identical presentations should share a latent)
-    report["symmetry"] = _symmetry_metrics(model, train.batch)
+    # identical presentations should share a latent); reuses the
+    # already-computed posterior means / reconstructions
+    report["symmetry"] = _symmetry_metrics(model, train.batch,
+                                           mu=mu_all, R=R_train)
     if held is not None and len(held):
-        report["symmetry_held_out"] = _symmetry_metrics(model, held)
+        report["symmetry_held_out"] = _symmetry_metrics(model, held, R=R_held)
 
     # same prior samples with and without topology projection, so the
     # projected row isolates the projection's effect (not sampling noise)
@@ -198,7 +210,7 @@ def main():
                 print(f"{section}: {metrics}")
 
 
-def _symmetry_metrics(model, G, seed=0) -> dict:
+def _symmetry_metrics(model, G, seed=0, mu=None, R=None) -> dict:
     """Encoder invariance under operator permutation: pair each patch that
     has a non-trivial automorphism orbit with ONE random permuted copy
     (acoustically identical, different node order) and measure how the model
@@ -217,29 +229,32 @@ def _symmetry_metrics(model, G, seed=0) -> dict:
                             include_original=False, return_index=True)
     if not len(Gp):
         return {"n_pairs": 0}
-    mu0, _ = model.encode(G)
-    mu1, _ = model.encode(Gp)
-    mu0 = np.asarray(mu0, np.float64)
-    mu1 = np.asarray(mu1, np.float64)
+    if mu is None:
+        mu, _ = model.encode(G)
+    mu0 = np.asarray(mu, np.float64)
+    mu1_n, _ = model.encode(Gp)
+    mu1 = np.asarray(mu1_n, np.float64)
     a = mu0[src]
     cos = (a * mu1).sum(-1) / (np.linalg.norm(a, axis=-1)
                                * np.linalg.norm(mu1, axis=-1) + 1e-12)
     pair_d = np.linalg.norm(a - mu1, axis=-1)
     # scale reference: typical latent distance between DIFFERENT patches
+    # (None when the batch has no distinct pair to compare against)
     rng = np.random.default_rng(seed)
     i = rng.integers(0, len(mu0), 4096)
     j = rng.integers(0, len(mu0), 4096)
     ref_d = np.linalg.norm(mu0[i[i != j]] - mu0[j[i != j]], axis=-1)
+    scale = float(np.median(ref_d)) if len(ref_d) else 0.0
+    ratio = round(float(np.median(pair_d) / scale), 4) if scale > 0 else None
     # do permuted presentations reconstruct as well as their originals?
-    R0 = model.encode_decode(G)
+    R0 = model.encode_decode(G) if R is None else R
     R1 = model.encode_decode(Gp)
     acc_orig = float((np.asarray(G.params)[src] == np.asarray(R0.params)[src]).mean())
     acc_perm = float((np.asarray(Gp.params) == np.asarray(R1.params)).mean())
     return {
         "n_pairs": int(len(Gp)),
         "latent_cos_mean": round(float(cos.mean()), 4),
-        "pair_dist_over_interpatch": round(float(np.median(pair_d)
-                                                 / np.median(ref_d)), 4),
+        "pair_dist_over_interpatch": ratio,
         "param_acc_originals": round(acc_orig, 4),
         "param_acc_permuted": round(acc_perm, 4),
     }

@@ -285,7 +285,7 @@ def test_ab_orbit_script_micro_run(tmp_path):
     out = tmp_path / "ab.jsonl"
     mod.main(["--size-h", "32", "--size-z", "8", "--no-unroll",
               "--total-steps", "2", "--batch", "512", "--seeds", "1",
-              "--out", str(out)])
+              "--arms", "baseline,orbit", "--out", str(out)])
     rows = [json.loads(l) for l in out.read_text().splitlines()]
     assert [r["arm"] for r in rows] == ["baseline", "orbit"]
     assert rows[1]["n_train"] > rows[0]["n_train"] == 1024
@@ -293,8 +293,9 @@ def test_ab_orbit_script_micro_run(tmp_path):
         for col in ("final_loss", "held_out.param_acc", "held_out_elbo",
                     "symmetry.param_acc_permuted"):
             assert np.isfinite(r[col]), col
-    # step-matched: both arms realized the same whole-epoch step budget
-    assert rows[0]["steps"] == 2 and rows[1]["steps"] in (2, 3)
+    # step-matched: both arms realized EXACTLY the step budget (the larger
+    # orbit arm takes a partial first epoch rather than extra steps)
+    assert rows[0]["steps"] == rows[1]["steps"] == 2
     agg = mod.aggregate(rows)
     assert set(agg) == {"baseline", "orbit"}
     assert agg["baseline"]["n_runs"] == agg["orbit"]["n_runs"] == 1
