@@ -259,6 +259,12 @@ def build_parser() -> argparse.ArgumentParser:
                                  "identical, different node order); CAP "
                                  "caps copies per patch, bare flag = full "
                                  "orbit (beyond-reference)")
+            sp.add_argument("--canonicalize-orbit", action="store_true",
+                            help="collapse every patch to the canonical "
+                                 "presentation of its automorphism orbit "
+                                 "before training (one decoder target per "
+                                 "latent; the augmentation's complement — "
+                                 "mutually exclusive with --augment-orbit)")
 
     common(sub.add_parser("train-new", help="train from scratch (main.py:12)"), train=True)
     common(sub.add_parser("train-on", help="resume from checkpoint (main.py:18)"), train=True)
@@ -463,6 +469,13 @@ def main(argv=None) -> int:
             setattr(cfg, flag, v)
     if getattr(args, "no_extra_epoch", False):
         cfg.extra_epoch = False
+    if getattr(args, "canonicalize_orbit", False):
+        cfg.canonicalize_orbit = True
+    if cfg.canonicalize_orbit and cfg.augment_orbit is not None:
+        # augmenting then canonicalizing collapses every copy back to one
+        # identical row (pure duplicates); the options are complements
+        raise SystemExit(
+            "--canonicalize-orbit and --augment-orbit are mutually exclusive")
     args.raw_dir = cfg.raw_dir
     args.checkpoint = cfg.checkpoint
 
@@ -491,6 +504,12 @@ def main(argv=None) -> int:
                                else cfg.augment_orbit),
                 seed=cfg.seed)
             print(f"orbit augmentation: {n0} -> {len(G)} patches")
+        elif cfg.canonicalize_orbit:
+            from dxvae_tpu.data.algorithms import canonicalize_orbit
+
+            G = canonicalize_orbit(G)
+            print(f"orbit canonicalization: {len(G)} patches -> canonical "
+                  "presentation")
         fn = train_new if args.cmd == "train-new" else train_on
         fn(
             G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,

@@ -40,6 +40,11 @@ class TrainConfig:
     # None = off, -1 = full automorphism orbit, N >= 0 = at most N permuted
     # copies per patch
     augment_orbit: int | None = None
+    # collapse every patch to the canonical presentation of its automorphism
+    # orbit before training (data/algorithms.canonicalize_orbit) — the
+    # augmentation's complement (one decoder target per latent); mutually
+    # exclusive with augment_orbit
+    canonicalize_orbit: bool = False
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

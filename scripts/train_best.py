@@ -44,7 +44,16 @@ ap.add_argument("--augment-orbit", type=int, default=None, nargs="?", const=-1,
                      "(data/algorithms.orbit_augment); CAP caps copies per "
                      "patch, bare flag = full orbit.  For step-matched A/Bs "
                      "scale --epochs down by the expansion factor")
+ap.add_argument("--canonicalize-orbit", action="store_true",
+                help="collapse every patch to the canonical presentation of "
+                     "its automorphism orbit before training (one decoder "
+                     "target per latent; mutually exclusive with "
+                     "--augment-orbit)")
 args = ap.parse_args()
+if args.canonicalize_orbit and args.augment_orbit is not None:
+    raise SystemExit("--canonicalize-orbit and --augment-orbit are mutually "
+                     "exclusive (canonicalizing augmented copies collapses "
+                     "them to duplicates)")
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
 cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
@@ -58,6 +67,11 @@ if args.augment_orbit is not None:
         batch,
         max_per_patch=None if args.augment_orbit < 0 else args.augment_orbit)
     print(f"orbit augmentation: {len(ds)} -> {len(batch.X)} patches")
+elif args.canonicalize_orbit:
+    from dxvae_tpu.data.algorithms import canonicalize_orbit
+    batch = canonicalize_orbit(batch)
+    print(f"orbit canonicalization: {len(batch.X)} patches -> canonical "
+          "presentation")
 X = np.asarray(batch.X, np.float32)
 P = np.asarray(batch.params, np.int32)
 A = np.asarray(batch.adj, np.float32)

@@ -168,6 +168,32 @@ def test_cli_augment_orbit_wiring(monkeypatch, capsys):
     assert seen["n"] == 2 + 119 + 0  # bare flag = full orbit
 
 
+def test_cli_canonicalize_orbit_wiring(monkeypatch, capsys):
+    """`train-new --canonicalize-orbit` trains on the canonical presentation
+    (same row count, canonicalize_orbit applied) and refuses to combine with
+    --augment-orbit (augment-then-canonicalize = pure duplicates)."""
+    from dxvae_tpu.data.algorithms import canonicalize_orbit
+
+    import dxvae_tpu.cli as cli
+
+    G0 = _batch_for([31, 30, 0])
+    seen = {}
+    monkeypatch.setattr(cli, "_load_graphs", lambda args: G0)
+    monkeypatch.setattr(cli, "train_new",
+                        lambda G, *a, **kw: seen.update(G=G))
+    cli.main(["train-new", "--canonicalize-orbit", "--checkpoint", "x.npz"])
+    assert "orbit canonicalization" in capsys.readouterr().out
+    C = canonicalize_orbit(G0)
+    np.testing.assert_array_equal(seen["G"].params, C.params)
+    np.testing.assert_array_equal(seen["G"].X, C.X)
+    np.testing.assert_array_equal(seen["G"].adj, G0.adj)
+    cli.main(["train-new", "--checkpoint", "x.npz"])  # default: off
+    np.testing.assert_array_equal(seen["G"].params, G0.params)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(["train-new", "--canonicalize-orbit", "--augment-orbit",
+                  "2", "--checkpoint", "x.npz"])
+
+
 def test_evaluate_symmetry_metrics():
     """scripts/evaluate.py's encoder-invariance metric: finite, in range,
     and correctly counts one pair per non-trivial-orbit patch."""
