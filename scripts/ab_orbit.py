@@ -96,6 +96,9 @@ def main(argv=None):
     ap.add_argument("--peak-lr", type=float, default=1e-3)
     ap.add_argument("--w-kld", type=float, default=0.002)
     ap.add_argument("--seeds", type=int, default=3)
+    ap.add_argument("--seed-start", type=int, default=0,
+                    help="first seed (resume an interrupted sweep / append "
+                         "extra seeds without redoing finished ones)")
     ap.add_argument("--cap", type=int, default=2,
                     help="orbit copies per patch in the augmented arm "
                          "(-1 = full orbit)")
@@ -142,7 +145,7 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     results = []
-    for seed in range(args.seeds):
+    for seed in range(args.seed_start, args.seed_start + args.seeds):
         for arm in arms:
             if arm == "orbit":
                 cap = None if args.cap < 0 else args.cap
