@@ -258,7 +258,8 @@ def build_parser() -> argparse.ArgumentParser:
                                  "algorithm automorphisms (acoustically "
                                  "identical, different node order); CAP "
                                  "caps copies per patch, bare flag = full "
-                                 "orbit (beyond-reference)")
+                                 "orbit (beyond-reference; CAP=2 measured "
+                                 "best — docs/PERF.md orbit A/B)")
             sp.add_argument("--canonicalize-orbit", action="store_true",
                             help="collapse every patch to the canonical "
                                  "presentation of its automorphism orbit "

@@ -42,7 +42,8 @@ ap.add_argument("--augment-orbit", type=int, default=None, nargs="?", const=-1,
                 help="expand the training set with operator-permuted copies "
                      "along each patch's algorithm automorphisms "
                      "(data/algorithms.orbit_augment); CAP caps copies per "
-                     "patch, bare flag = full orbit.  For step-matched A/Bs "
+                     "patch, bare flag = full orbit (CAP=2 measured best — "
+                     "docs/PERF.md orbit A/B).  For step-matched A/Bs "
                      "scale --epochs down by the expansion factor")
 ap.add_argument("--canonicalize-orbit", action="store_true",
                 help="collapse every patch to the canonical presentation of "
