@@ -401,6 +401,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="latent index npz (search --save-index) enabling "
                          "/v1/search; must be built with the bundle's "
                          "checkpoint")
+    sp.add_argument("--batch-window-ms", type=float, default=None,
+                    metavar="MS",
+                    help="micro-batch the HTTP tensor endpoints: requests "
+                         "arriving within MS of each other merge into one "
+                         "artifact call (serving_http.MicroBatcher); a lone "
+                         "request pays MS extra latency")
     sp.add_argument("--raw-dir", default=None,
                     help=f"dataset for --op roundtrip (default: {dflt.raw_dir})")
     sp.add_argument("--synprez-only", action="store_true")
@@ -609,6 +615,9 @@ def main(argv=None) -> int:
         print(f"wrote {args.out}: functions {sorted(man['functions'])} at "
               f"buckets {args.batch_sizes} for {man['platforms']}")
     elif args.cmd == "serve":
+        if args.batch_window_ms is not None and args.http is None:
+            raise SystemExit("--batch-window-ms only applies to --http mode "
+                             "(one-shot ops have nothing to merge)")
         if args.http is not None:
             from dxvae_tpu.serving_http import serve_forever
 
@@ -618,7 +627,8 @@ def main(argv=None) -> int:
                     f"--http expects [HOST]:PORT with PORT 0-65535 (e.g. "
                     f"':8000' or '0.0.0.0:8000'), got {args.http!r}")
             serve_forever(args.bundle, host or "127.0.0.1", int(port),
-                          index_path=args.search_index)
+                          index_path=args.search_index,
+                          batch_window_ms=args.batch_window_ms)
             return 0
         from dxvae_tpu.serving import ServedDXVAE, bank_bytes
 

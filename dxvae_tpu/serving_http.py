@@ -35,6 +35,7 @@ from __future__ import annotations
 import base64
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 import numpy as np
@@ -42,6 +43,83 @@ import numpy as np
 from dxvae_tpu.graph import GraphBatch
 from dxvae_tpu.serving import (ServedDXVAE, bank_bytes, knn_hits,
                                load_search_index)
+
+
+class MicroBatcher:
+    """Cross-request micro-batching for one tensor endpoint.
+
+    The artifact executes one call per request (~0.33 ms per-call overhead on
+    TPU, docs/PERF.md "AOT serving path"), and the bundle's bucketed dispatch
+    pads a 1-patch request up to a whole bucket anyway — so N concurrent
+    small requests cost N bucket-sized device calls.  The batcher merges
+    requests that arrive within ``window_s`` of each other into ONE call and
+    hands each client its slice back: the first request in becomes the
+    *leader*, sleeps out the window while followers append, then executes the
+    merged batch under the device lock.  An empty window adds exactly
+    ``window_s`` latency to a lone request; a busy window converts per-call
+    overhead into per-batch overhead.
+
+    ``fn`` maps the concatenated inputs to outputs; ``slice_out`` cuts one
+    client's rows back out.  Failures of a merged call propagate to every
+    caller in it (the inputs were validated per-request before submission,
+    so a poisoned batch means the artifact itself failed).
+    """
+
+    def __init__(self, fn, slice_out, lock, window_s: float = 0.005,
+                 max_batch: int | None = None):
+        self.fn, self.slice_out = fn, slice_out
+        self.device_lock = lock
+        self.window_s = float(window_s)
+        self.max_batch = max_batch
+        self._mu = threading.Lock()
+        self._pending: list[dict] = []
+        self.n_requests = 0
+        self.n_calls = 0
+
+    def submit(self, *arrays):
+        item = {"in": arrays, "n": len(arrays[0]), "ev": threading.Event()}
+        with self._mu:
+            self._pending.append(item)
+            self.n_requests += 1
+            leader = len(self._pending) == 1
+        if leader:
+            time.sleep(self.window_s)
+            with self._mu:
+                batch, self._pending = self._pending, []
+            self._run(batch)
+        elif not item["ev"].wait(timeout=120.0):
+            raise RuntimeError("micro-batch timed out waiting for its leader")
+        if "err" in item:
+            raise item["err"]
+        return item["out"]
+
+    def _run(self, batch: list[dict]) -> None:
+        # respect the bundle's largest bucket: chunk an oversized merge
+        chunks, cur, cur_n = [], [], 0
+        for it in batch:
+            if cur and self.max_batch and cur_n + it["n"] > self.max_batch:
+                chunks.append(cur)
+                cur, cur_n = [], 0
+            cur.append(it)
+            cur_n += it["n"]
+        chunks.append(cur)
+        for chunk in chunks:
+            try:
+                cat = tuple(np.concatenate([it["in"][i] for it in chunk])
+                            for i in range(len(chunk[0]["in"])))
+                with self.device_lock:
+                    self.n_calls += 1
+                    out = self.fn(*cat)
+                ofs = 0
+                for it in chunk:
+                    it["out"] = self.slice_out(out, ofs, ofs + it["n"])
+                    ofs += it["n"]
+            except Exception as e:  # deliver, don't swallow: every waiter
+                for it in chunk:    # gets the failure instead of a timeout
+                    it["err"] = e
+            finally:
+                for it in chunk:
+                    it["ev"].set()
 
 
 def _graph_json(G: GraphBatch) -> dict:
@@ -110,20 +188,29 @@ class _BundleHandler(BaseHTTPRequestHandler):
             if self.path == "/v1/encode":
                 X = np.asarray(req["X"], np.float32)
                 adj = np.asarray(req["adj"], np.float32)
-                with self.server.lock:
-                    mu, std = srv.encode((X, adj))
-                return self._json(200, {"mu": mu.tolist(),
-                                        "std": std.tolist()})
+                if self.server.batchers:
+                    mu, std = self.server.batchers["encode"].submit(X, adj)
+                else:
+                    with self.server.lock:
+                        mu, std = srv.encode((X, adj))
+                return self._json(200, {"mu": np.asarray(mu).tolist(),
+                                        "std": np.asarray(std).tolist()})
             if self.path == "/v1/decode":
                 z = np.asarray(req["z"], np.float32)
-                with self.server.lock:
-                    G = srv.decode(z)
+                if self.server.batchers:
+                    G = self.server.batchers["decode"].submit(z)
+                else:
+                    with self.server.lock:
+                        G = srv.decode(z)
                 return self._json(200, _graph_json(G))
             if self.path == "/v1/roundtrip":
                 X = np.asarray(req["X"], np.float32)
                 adj = np.asarray(req["adj"], np.float32)
-                with self.server.lock:
-                    G = srv.encode_decode((X, adj))
+                if self.server.batchers:
+                    G = self.server.batchers["roundtrip"].submit(X, adj)
+                else:
+                    with self.server.lock:
+                        G = srv.encode_decode((X, adj))
                 return self._json(200, _graph_json(G))
             if self.path == "/v1/search":
                 index = self.server.index
@@ -171,18 +258,47 @@ class _BundleHandler(BaseHTTPRequestHandler):
 
 def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
                 verbose: bool = False,
-                index_path=None) -> ThreadingHTTPServer:
+                index_path=None,
+                batch_window_ms: float | None = None) -> ThreadingHTTPServer:
     """Build (but don't start) an HTTP server over ``bundle_path``.  Port 0
     binds an ephemeral port — read it back from ``server_address``.
     ``index_path`` loads a latent index (CLI ``search --save-index``) and
     enables ``/v1/search``; it must live in the same latent space as the
-    bundle (same checkpoint — the latent width is checked at startup)."""
+    bundle (same checkpoint — the latent width is checked at startup).
+    ``batch_window_ms`` enables cross-request micro-batching on the tensor
+    endpoints (encode/decode/roundtrip): requests arriving within the window
+    merge into one artifact call (see :class:`MicroBatcher`) — worth it when
+    many clients send small batches; a lone request pays the window as extra
+    latency."""
     httpd = ThreadingHTTPServer((host, port), _BundleHandler)
     try:  # never leak the bound socket on a failed startup
         httpd.model = ServedDXVAE.load(bundle_path)
         httpd.lock = threading.Lock()
         httpd.verbose = verbose
         httpd.index = None
+        httpd.batchers = None
+        if batch_window_ms is not None:
+            if batch_window_ms < 0:
+                raise ValueError(f"negative batch window: {batch_window_ms}")
+            srv, w = httpd.model, batch_window_ms / 1000.0
+            fns = srv.manifest["functions"]
+
+            def _cap(name):
+                return fns[name][-1] if name in fns else None
+
+            _slice_graph = lambda G, a, b: G[a:b]
+            httpd.batchers = {
+                "encode": MicroBatcher(
+                    lambda X, adj: srv.encode((X, adj)),
+                    lambda out, a, b: (out[0][a:b], out[1][a:b]),
+                    httpd.lock, w, _cap("encode")),
+                "decode": MicroBatcher(
+                    lambda z: srv.decode(z), _slice_graph,
+                    httpd.lock, w, _cap("decode")),
+                "roundtrip": MicroBatcher(
+                    lambda X, adj: srv.encode_decode((X, adj)), _slice_graph,
+                    httpd.lock, w, _cap("roundtrip")),
+            }
         if index_path is not None:
             httpd.index = load_search_index(index_path)
             size_z = httpd.model.manifest["cfg"]["size_z"]
@@ -199,9 +315,11 @@ def make_server(bundle_path, host: str = "127.0.0.1", port: int = 0,
 
 
 def serve_forever(bundle_path, host: str = "127.0.0.1", port: int = 8000,
-                  verbose: bool = True, index_path=None) -> None:
+                  verbose: bool = True, index_path=None,
+                  batch_window_ms: float | None = None) -> None:
     httpd = make_server(bundle_path, host, port, verbose=verbose,
-                        index_path=index_path)
+                        index_path=index_path,
+                        batch_window_ms=batch_window_ms)
     h, p = httpd.server_address[:2]
     print(f"serving {bundle_path} at http://{h}:{p} "
           f"(functions: {sorted(httpd.model.manifest['functions'])})")

@@ -70,7 +70,10 @@ def test_serving_documented_signatures():
     assert params_of(serving.ServedDXVAE.generate)[1:] == [
         "n", "seed", "prior", "temperature", "valid_only", "max_rounds"]
     assert params_of(serving_http.make_server) == [
-        "bundle_path", "host", "port", "verbose", "index_path"]
+        "bundle_path", "host", "port", "verbose", "index_path",
+        "batch_window_ms"]
+    assert params_of(serving_http.MicroBatcher.__init__)[1:] == [
+        "fn", "slice_out", "lock", "window_s", "max_batch"]
 
 
 def test_parallel_and_utils_documented_signatures():

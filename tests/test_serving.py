@@ -459,3 +459,131 @@ print('SERVED_OK')
     np.savez(newer, **blobs)
     with pytest.raises(ValueError, match="newer"):
         ServedDXVAE.load(newer)
+
+
+# ---------------------------------------------------------------------------
+# cross-request micro-batching (serving_http.MicroBatcher)
+# ---------------------------------------------------------------------------
+
+def test_micro_batcher_merges_and_slices():
+    """Concurrent submits inside one window merge into ONE underlying call,
+    and every caller gets exactly its own rows back."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import MicroBatcher
+
+    calls = []
+
+    def fn(x):
+        calls.append(len(x))
+        return x * 2.0
+
+    mb = MicroBatcher(fn, lambda out, a, b: out[a:b],
+                      threading.Lock(), window_s=0.3, max_batch=None)
+    barrier = threading.Barrier(4)
+
+    def client(i):
+        barrier.wait()
+        x = np.full((i + 1, 3), float(i), np.float32)
+        return mb.submit(x)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        outs = list(ex.map(client, range(4)))
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, np.full((i + 1, 3), 2.0 * i))
+    assert mb.n_requests == 4
+    assert mb.n_calls < 4            # merging actually happened
+    assert sum(calls) == 1 + 2 + 3 + 4
+
+
+def test_micro_batcher_chunks_at_max_batch_and_propagates_errors():
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import MicroBatcher
+
+    calls = []
+
+    def fn(x):
+        calls.append(len(x))
+        if np.any(x < 0):
+            raise ValueError("poisoned batch")
+        return x + 1.0
+
+    mb = MicroBatcher(fn, lambda out, a, b: out[a:b],
+                      threading.Lock(), window_s=0.3, max_batch=2)
+    barrier = threading.Barrier(3)
+
+    def client(i):
+        barrier.wait()
+        return mb.submit(np.full((1, 2), float(i), np.float32))
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        outs = list(ex.map(client, range(3)))
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, np.full((1, 2), i + 1.0))
+    assert all(c <= 2 for c in calls)    # the bucket cap was respected
+
+    # a failing merged call raises in EVERY waiting client (not a timeout)
+    barrier = threading.Barrier(2)
+
+    def bad(i):
+        barrier.wait()
+        return mb.submit(np.full((1, 2), -1.0, np.float32))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(bad, i) for i in range(2)]
+        for f in futs:
+            with pytest.raises(ValueError, match="poisoned"):
+                f.result(timeout=30)
+
+
+def test_http_micro_batching_end_to_end(bundle):
+    """serve --http --batch-window-ms: concurrent single-patch /v1/decode
+    requests merge into fewer artifact calls and still return exactly the
+    direct model's decode."""
+    import http.client
+    import json
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import make_server
+
+    model, path, _ = bundle
+    # a generous window: on the loaded 1-core test VM the 4 client threads
+    # need real time to connect+POST before the leader's window closes
+    httpd = make_server(path, batch_window_ms=1000.0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+        rng = np.random.default_rng(0)
+        zs = rng.standard_normal((4, 1, 16)).astype(np.float32)
+
+        def decode(i):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request("POST", "/v1/decode",
+                             json.dumps({"z": zs[i].tolist()}),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read())
+            finally:
+                conn.close()
+
+        decode(0)  # warm the artifact cache so the timed window is honest
+        before = httpd.batchers["decode"].n_calls
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(decode, range(4)))
+        assert all(st == 200 for st, _ in results)
+        merged_calls = httpd.batchers["decode"].n_calls - before
+        assert merged_calls < 4, "no cross-request merging happened"
+        G = model.decode(zs.reshape(4, 16))
+        for i, (_, out) in enumerate(results):
+            np.testing.assert_array_equal(
+                np.asarray(out["params"]), np.asarray(G.params[i:i + 1]))
+            np.testing.assert_array_equal(
+                np.asarray(out["adj"]), np.asarray(G.adj[i:i + 1]))
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
