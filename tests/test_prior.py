@@ -182,3 +182,73 @@ def test_prior_save_load_extensionless_path(tmp_path):
     save_prior(str(tmp_path / "gmm_noext"), prior)
     got = load_prior(str(tmp_path / "gmm_noext"))
     np.testing.assert_array_equal(np.asarray(got.means), np.asarray(prior.means))
+
+
+# ---------------------------------------------------------------------------
+# scripts/ab_flow_prior.py — flow-matching prior A/B harness
+# ---------------------------------------------------------------------------
+
+def _load_script(name):
+    import importlib.util
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        name, root / "scripts" / f"{name}.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_flow_fit_learns_an_offset_gaussian():
+    """On a shifted Gaussian cloud the rectified flow must beat untrained
+    (val MSE well under the raw target variance) and its samples must land
+    on the cloud, not at N(0, I)."""
+    mod = _load_script("ab_flow_prior")
+    rng = np.random.default_rng(0)
+    cloud = (rng.standard_normal((2048, 4)) * 0.5 + 3.0).astype(np.float32)
+    flow, diag = mod.fit_flow(cloud, jax.random.PRNGKey(0), steps=400,
+                              batch=256, hidden=64, depth=2, t_feats=8)
+    # the FM regression target (x - eps) has variance 2/dim under whitening
+    # and, for a Gaussian cloud, a LARGE irreducible conditional variance
+    # (many (x, eps) pairs share each z_t) — so the val MSE floor sits near
+    # ~1.6, not 0.  The learning signal is (a) beating the untrained v≡0
+    # field's exact MSE of 2.0 and (b) the samples landing on the cloud.
+    assert diag["val_mse"] < 1.9
+    assert diag["train_mse_last"] < diag["train_mse_first"]
+    z = np.asarray(mod.sample_flow(flow, jax.random.PRNGKey(1), 512,
+                                   ode_steps=32))
+    assert z.shape == (512, 4)
+    np.testing.assert_allclose(z.mean(0), np.full(4, 3.0), atol=0.25)
+    np.testing.assert_allclose(z.std(0), np.full(4, 0.5), atol=0.2)
+
+
+def test_ab_flow_prior_script_micro_run(tmp_path):
+    """End to end at micro scale: all three arms share one posterior cloud,
+    each appends a JSON line with the generation metrics, and the aggregate
+    covers every arm."""
+    import json
+
+    from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+    mod = _load_script("ab_flow_prior")
+    m = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    ck = tmp_path / "tiny.npz"
+    save_checkpoint(ck, m.params, params_only=True)
+    out = tmp_path / "ab.jsonl"
+    rows, agg = mod.main([
+        "--checkpoint", str(ck), "--no-unroll", "--n", "16", "--spp", "1",
+        "--flow-steps", "30", "--flow-batch", "64", "--flow-hidden", "32",
+        "--flow-depth", "2", "--ode-steps", "8", "--gmm-k", "4",
+        "--out", str(out)])
+    recs = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["arm"] for r in recs] == ["standard", "gmm", "flow"]
+    for r in recs:
+        assert r["n"] == 16
+        for col in ("valid_topology_rate", "unique_topologies",
+                    "mean_nn_param_disagreement",
+                    "roundtrip_topology_retained"):
+            assert np.isfinite(r[col]), col
+    assert np.isfinite(recs[2]["val_mse"])  # the flow's overfit guard
+    assert set(agg) == {"standard", "gmm", "flow"}
+    assert agg["flow"]["n_runs"] == 1
