@@ -45,6 +45,15 @@ def main():
                          "localhost /v1/roundtrip wall time vs the direct "
                          "ServedDXVAE call — the difference is the "
                          "HTTP+JSON layer cost (host-side, chip-independent)")
+    ap.add_argument("--http-concurrency", type=int, default=0, metavar="C",
+                    help="with --http: ALSO measure C closed-loop clients "
+                         "posting single-patch roundtrips, window off vs "
+                         "--batch-window-ms on — the micro-batching A/B "
+                         "(serving_http.MicroBatcher)")
+    ap.add_argument("--batch-window-ms", type=float, default=5.0,
+                    help="micro-batch window for the ON arm of the "
+                         "--http-concurrency A/B")
+    ap.add_argument("--requests-per-client", type=int, default=25)
     args = ap.parse_args()
 
     import jax
@@ -129,6 +138,66 @@ def main():
             "note": "localhost HTTP+JSON frontend over the same artifact; "
                     "the overhead is host-side (chip-independent)",
         }))
+
+        if args.http_concurrency:
+            # micro-batching A/B: C closed-loop clients each posting R
+            # single-patch roundtrips (the workload the feature targets —
+            # every un-merged request pays a full bucket-sized device call)
+            from concurrent.futures import ThreadPoolExecutor
+
+            C, R = args.http_concurrency, args.requests_per_client
+            body1 = json.dumps({"X": Xn[:1].tolist(),
+                                "adj": adjn[:1].tolist()})
+            ab = {}
+            for label, window in (("window_off", None),
+                                  ("window_on", args.batch_window_ms)):
+                httpd2 = make_server(args.bundle, batch_window_ms=window)
+                threading.Thread(target=httpd2.serve_forever,
+                                 daemon=True).start()
+                try:
+                    h2, p2 = httpd2.server_address[:2]
+
+                    def client(_i):
+                        conn = http.client.HTTPConnection(h2, p2,
+                                                          timeout=600)
+                        try:
+                            for _ in range(R):
+                                conn.request(
+                                    "POST", "/v1/roundtrip", body1,
+                                    {"Content-Type": "application/json"})
+                                resp = conn.getresponse()
+                                data = resp.read()
+                                if resp.status != 200:
+                                    raise SystemExit(
+                                        f"server error {resp.status}: "
+                                        f"{data[:200]}")
+                        finally:
+                            conn.close()
+
+                    client(0)  # warm the artifact + connection path
+                    t0 = time.perf_counter()
+                    with ThreadPoolExecutor(max_workers=C) as ex:
+                        list(ex.map(client, range(C)))
+                    wall = time.perf_counter() - t0
+                    row = {"requests_per_sec": round(C * R / wall, 1),
+                           "wall_s": round(wall, 3)}
+                    if httpd2.batchers:
+                        mb = httpd2.batchers["roundtrip"]
+                        row["artifact_calls_per_request"] = round(
+                            mb.n_calls / mb.n_requests, 3)
+                    ab[label] = row
+                finally:
+                    httpd2.shutdown()
+                    httpd2.server_close()
+            print(json.dumps({
+                "metric": f"http_microbatch_ab_c{C}",
+                "unit": "requests/sec",
+                "batch_window_ms": args.batch_window_ms,
+                "requests_per_client": R,
+                **ab,
+                "speedup": round(ab["window_on"]["requests_per_sec"]
+                                 / ab["window_off"]["requests_per_sec"], 2),
+            }))
         return 0
 
     # the exact-bucket artifact is only needed on the direct path (the http
