@@ -50,6 +50,21 @@ ap.add_argument("--canonicalize-orbit", action="store_true",
                      "its automorphism orbit before training (one decoder "
                      "target per latent; mutually exclusive with "
                      "--augment-orbit)")
+ap.add_argument("--val-banks", type=int, default=0, metavar="K",
+                help="hold out K banks (interleaved over the corpus) as a "
+                     "validation split, score val ELBO every --val-every "
+                     "epochs, and keep the best-val checkpoint alongside "
+                     "the final one (<checkpoint>.best.npz).  Motivated by "
+                     "the measured over-training effect: longer schedules "
+                     "sharpen reconstruction but DEGRADE prior sampling "
+                     "(docs/PERF.md scaling study), and single-bank "
+                     "held-out numbers are noise-dominated (CV section) — "
+                     "val ELBO on >=2 banks is the principled stopping "
+                     "signal")
+ap.add_argument("--val-every", type=int, default=500,
+                help="epochs between val-ELBO evaluations (with --val-banks)")
+ap.add_argument("--no-unroll", action="store_true",
+                help="batched-cadence path (fast compile; CPU dev runs)")
 args = ap.parse_args()
 if args.canonicalize_orbit and args.augment_orbit is not None:
     raise SystemExit("--canonicalize-orbit and --augment-orbit are mutually "
@@ -57,17 +72,37 @@ if args.canonicalize_orbit and args.augment_orbit is not None:
                      "them to duplicates)")
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
-cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z, unroll=True)
+cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z,
+                  unroll=not args.no_unroll)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
 ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_best_cache", include="synprez")
 batch = ds.batch
+VX = VP = VA = None
+if args.val_banks:
+    n_banks = len(batch.X) // 32
+    if not 2 <= args.val_banks < n_banks:
+        raise SystemExit(f"--val-banks must be in [2, {n_banks}) "
+                         "(single-bank val ELBO is noise-dominated, "
+                         "docs/PERF.md CV section)")
+    # interleaved bank pick (contiguous blocks confound with the corpus's
+    # bank numbering — same rationale as cv_generalization.fold_banks)
+    stride = max(1, n_banks // args.val_banks)
+    val_banks = list(range(0, n_banks, stride))[: args.val_banks]
+    vmask = np.isin(np.arange(len(batch.X)) // 32, val_banks)
+    val, batch = batch[vmask], batch[~vmask]
+    VX = np.asarray(val.X, np.float32)
+    VP = np.asarray(val.params, np.int32)
+    VA = np.asarray(val.adj, np.float32)
+    print(f"validation split: banks {val_banks} ({len(VX)} patches held "
+          f"out of {len(vmask)})")
 if args.augment_orbit is not None:
     from dxvae_tpu.data.algorithms import orbit_augment
+    n_base = len(batch.X)  # train split only — val banks are never augmented
     batch = orbit_augment(
         batch,
         max_per_patch=None if args.augment_orbit < 0 else args.augment_orbit)
-    print(f"orbit augmentation: {len(ds)} -> {len(batch.X)} patches")
+    print(f"orbit augmentation: {n_base} -> {len(batch.X)} patches")
 elif args.canonicalize_orbit:
     from dxvae_tpu.data.algorithms import canonicalize_orbit
     batch = canonicalize_orbit(batch)
@@ -90,6 +125,13 @@ print("params:", param_count(state.params))
 step = make_train_step(opt, cfg, weights)
 
 anneal_steps = int(total_steps * args.anneal_frac)
+if VX is not None:
+    from dxvae_tpu.parallel.train import make_eval_step
+
+    eval_step = make_eval_step(cfg, weights)
+    best_val, best_epoch = float("inf"), -1
+    best_path = (args.checkpoint[:-4] if args.checkpoint.endswith(".npz")
+                 else args.checkpoint) + ".best.npz"
 rng = np.random.default_rng(0)
 key = jax.random.PRNGKey(1)
 t0 = time.time()
@@ -115,5 +157,16 @@ for epoch in range(EPOCHS):
         # multi-hour runs, and losing 5000 epochs to a crash at 4999 is the
         # failure mode api.DXVAE.train's save_every exists for
         save_checkpoint(args.checkpoint, state.params, params_only=True)
+    if VX is not None and (epoch % args.val_every == 0 or epoch == EPOCHS - 1):
+        v = float(eval_step(state.params, VX, VP, VA)["loss"])
+        mark = ""
+        if v < best_val:
+            best_val, best_epoch = v, epoch
+            save_checkpoint(best_path, state.params, params_only=True)
+            mark = "  (new best -> saved)"
+        print(f"epoch {epoch}: val_elbo {v:.4f}{mark}", flush=True)
 save_checkpoint(args.checkpoint, state.params, params_only=True)
 print(f"done in {time.time()-t0:.0f}s; final loss {float(last['loss']):.4f}")
+if VX is not None:
+    print(f"best val_elbo {best_val:.4f} at epoch {best_epoch} "
+          f"(kept in {best_path}; final weights in {args.checkpoint})")

@@ -47,3 +47,29 @@ def test_cv_script_micro_run(tmp_path):
     assert pooled["complete"] is True and pooled["n_held"] == 1024
     assert np.isfinite(pooled["held.param_acc"])
     assert rows[2]["held.param_acc"] == pooled["held.param_acc"]
+
+
+def test_train_best_val_banks_micro_run(tmp_path):
+    """train_best --val-banks: interleaved bank split excluded from training,
+    val ELBO scored on the cadence, best-val checkpoint kept alongside the
+    final one (and loadable at the right sizes)."""
+    import runpy
+    import sys
+
+    ck = tmp_path / "tb.npz"
+    argv = ["train_best.py", "--size-h", "32", "--size-z", "8", "--epochs",
+            "2", "--batch", "512", "--val-banks", "4", "--val-every", "1",
+            "--no-unroll", "--checkpoint", str(ck)]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        runpy.run_path(str(pathlib.Path(__file__).resolve().parents[1]
+                           / "scripts" / "train_best.py"),
+                       run_name="__main__")
+    finally:
+        sys.argv = old
+    best = tmp_path / "tb.best.npz"
+    assert ck.exists() and best.exists()
+    from dxvae_tpu.utils.checkpoint import infer_sizes
+
+    assert infer_sizes(str(best)) == (32, 8)
