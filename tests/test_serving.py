@@ -287,6 +287,10 @@ def test_serve_http_rejects_malformed_address(bundle):
     for bad in ("127.0.0.1", "localhost", ":", "host:"):
         with pytest.raises(SystemExit, match="HOST"):
             main(["serve", "--bundle", str(path), "--http", bad])
+    # and --batch-window-ms without --http: one-shot ops have nothing to merge
+    with pytest.raises(SystemExit, match="only applies to --http"):
+        main(["serve", "--bundle", str(path), "--op", "generate",
+              "--batch-window-ms", "5"])
 
 
 def test_http_concurrent_clients(bundle):
