@@ -61,8 +61,10 @@ class MicroBatcher:
 
     ``fn`` maps the concatenated inputs to outputs; ``slice_out`` cuts one
     client's rows back out.  Failures of a merged call propagate to every
-    caller in it (the inputs were validated per-request before submission,
-    so a poisoned batch means the artifact itself failed).
+    caller in it — which is why the handler validates every request's
+    shapes (``_check_batch``) BEFORE ``submit``: one malformed request must
+    400 alone, not poison the ``np.concatenate`` for everyone sharing its
+    window.
     """
 
     def __init__(self, fn, slice_out, lock, window_s: float = 0.005,
@@ -88,7 +90,10 @@ class MicroBatcher:
                 batch, self._pending = self._pending, []
             self._run(batch)
         elif not item["ev"].wait(timeout=120.0):
-            raise RuntimeError("micro-batch timed out waiting for its leader")
+            # a server-side stall, not a client error — the handler maps
+            # TimeoutError to 503 so retrying clients don't give up
+            raise TimeoutError("micro-batch timed out waiting for its "
+                               "leader (server overloaded)")
         if "err" in item:
             raise item["err"]
         return item["out"]
@@ -104,6 +109,7 @@ class MicroBatcher:
             cur_n += it["n"]
         chunks.append(cur)
         for chunk in chunks:
+            fatal = None
             try:
                 cat = tuple(np.concatenate([it["in"][i] for it in chunk])
                             for i in range(len(chunk[0]["in"])))
@@ -114,12 +120,28 @@ class MicroBatcher:
                 for it in chunk:
                     it["out"] = self.slice_out(out, ofs, ofs + it["n"])
                     ofs += it["n"]
-            except Exception as e:  # deliver, don't swallow: every waiter
-                for it in chunk:    # gets the failure instead of a timeout
-                    it["err"] = e
-            finally:
+            except BaseException as e:  # deliver, don't swallow: every
+                for it in chunk:        # waiter gets the failure instead of
+                    it["err"] = e       # a timeout (or a bare KeyError)
+                if not isinstance(e, Exception):
+                    fatal = e  # SystemExit/KeyboardInterrupt: re-raise in
+            finally:           # the leader after the waiters are released
                 for it in chunk:
                     it["ev"].set()
+            if fatal is not None:
+                raise fatal
+
+
+def _check_batch(name: str, arr: np.ndarray, *trailing: int) -> None:
+    """Require shape (B>=1, *trailing).  Runs per-request BEFORE a tensor
+    endpoint executes (or enters a micro-batch): with batching enabled an
+    unvalidated shape would fail the merged np.concatenate and poison every
+    request sharing the window."""
+    if arr.ndim != 1 + len(trailing) or arr.shape[1:] != trailing \
+            or len(arr) == 0:
+        want = ", ".join(str(t) for t in trailing)
+        raise ValueError(f"{name} must have shape (B>=1, {want}), "
+                         f"got {tuple(arr.shape)}")
 
 
 def _graph_json(G: GraphBatch) -> dict:
@@ -185,9 +207,15 @@ class _BundleHandler(BaseHTTPRequestHandler):
                     return self._json(200, {
                         "syx_base64": base64.b64encode(raw).decode()})
                 return self._json(200, _graph_json(G))
+            cfg = srv.manifest["cfg"]
             if self.path == "/v1/encode":
                 X = np.asarray(req["X"], np.float32)
                 adj = np.asarray(req["adj"], np.float32)
+                _check_batch("X", X, cfg["n_nodes"], cfg["size_x"])
+                _check_batch("adj", adj, cfg["n_nodes"], cfg["n_nodes"])
+                if len(X) != len(adj):
+                    raise ValueError(f"X has {len(X)} patches but adj has "
+                                     f"{len(adj)}")
                 if self.server.batchers:
                     mu, std = self.server.batchers["encode"].submit(X, adj)
                 else:
@@ -197,6 +225,7 @@ class _BundleHandler(BaseHTTPRequestHandler):
                                         "std": np.asarray(std).tolist()})
             if self.path == "/v1/decode":
                 z = np.asarray(req["z"], np.float32)
+                _check_batch("z", z, cfg["size_z"])
                 if self.server.batchers:
                     G = self.server.batchers["decode"].submit(z)
                 else:
@@ -206,6 +235,11 @@ class _BundleHandler(BaseHTTPRequestHandler):
             if self.path == "/v1/roundtrip":
                 X = np.asarray(req["X"], np.float32)
                 adj = np.asarray(req["adj"], np.float32)
+                _check_batch("X", X, cfg["n_nodes"], cfg["size_x"])
+                _check_batch("adj", adj, cfg["n_nodes"], cfg["n_nodes"])
+                if len(X) != len(adj):
+                    raise ValueError(f"X has {len(X)} patches but adj has "
+                                     f"{len(adj)}")
                 if self.server.batchers:
                     G = self.server.batchers["roundtrip"].submit(X, adj)
                 else:
@@ -252,6 +286,10 @@ class _BundleHandler(BaseHTTPRequestHandler):
             return self._json(404, {"error": f"unknown route {self.path!r}"})
         except KeyError as e:
             return self._json(400, {"error": f"missing field {e}"})
+        except TimeoutError as e:
+            # server-side stall (micro-batch leader overloaded), NOT a bad
+            # request — 503 tells well-behaved clients to retry
+            return self._json(503, {"error": str(e)})
         except (ValueError, TypeError, RuntimeError, IndexError) as e:
             return self._json(400, {"error": str(e)})
 

@@ -159,17 +159,6 @@ def sample_flow(flow, key, n, ode_steps=64, temperature=1.0):
 # experiment driver
 # --------------------------------------------------------------------------
 
-def _load_sibling(name):
-    import importlib.util
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        f"dxvae_{name}", os.path.join(here, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", default="checkpoints/dx_h1024.npz")
@@ -192,7 +181,9 @@ def main(argv=None):
     ap.add_argument("--out", default="runs/ab_flow_prior.jsonl")
     args = ap.parse_args(argv)
 
-    ev = _load_sibling("evaluate")
+    from scripts._lib import load_sibling
+
+    ev = load_sibling("evaluate")
     from dxvae_tpu.api import DXVAE, DXDataset
     from dxvae_tpu.data.dataset import default_raw_dir
     from dxvae_tpu.models.prior import fit_gmm, sample_gmm

@@ -175,16 +175,21 @@ def main():
                             conn.close()
 
                     client(0)  # warm the artifact + connection path
+                    mb = (httpd2.batchers or {}).get("roundtrip")
+                    # snapshot AFTER warm-up: the serial warm client's R
+                    # un-merged requests would otherwise halve the ratio
+                    base_calls = mb.n_calls if mb else 0
+                    base_reqs = mb.n_requests if mb else 0
                     t0 = time.perf_counter()
                     with ThreadPoolExecutor(max_workers=C) as ex:
                         list(ex.map(client, range(C)))
                     wall = time.perf_counter() - t0
                     row = {"requests_per_sec": round(C * R / wall, 1),
                            "wall_s": round(wall, 3)}
-                    if httpd2.batchers:
-                        mb = httpd2.batchers["roundtrip"]
+                    if mb:
                         row["artifact_calls_per_request"] = round(
-                            mb.n_calls / mb.n_requests, 3)
+                            (mb.n_calls - base_calls)
+                            / (mb.n_requests - base_reqs), 3)
                     ab[label] = row
                 finally:
                     httpd2.shutdown()

@@ -41,17 +41,6 @@ from dxvae_tpu.graph import GraphBatch
 from dxvae_tpu.models import DXVAEConfig, LossWeights
 
 
-def _load_sibling(name):
-    import importlib.util
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    spec = importlib.util.spec_from_file_location(
-        f"dxvae_{name}", os.path.join(here, f"{name}.py"))
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 def fold_banks(n_banks: int, folds: int):
     """Deterministic interleaved partition: bank b is held out in fold
     b % folds (contiguous blocks would confound with SynprezFM's numbering)."""
@@ -87,8 +76,10 @@ def main(argv=None):
                       unroll=not args.no_unroll)
     weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
-    ev = _load_sibling("evaluate")     # single source of metrics + split
-    ab = _load_sibling("ab_orbit")     # single source of the training recipe
+    from scripts._lib import load_sibling
+
+    ev = load_sibling("evaluate")      # single source of metrics + split
+    ab = load_sibling("ab_orbit")      # single source of the training recipe
 
     raw_dir = args.raw_dir or default_raw_dir()
     full = DXDataset(raw_dir, save_dir="/tmp/dx_cv_cache")
@@ -106,6 +97,11 @@ def main(argv=None):
     from dxvae_tpu.api import DXVAE
     from dxvae_tpu.parallel.train import make_eval_step
 
+    # DELIBERATE: held_elbo is scored under the reference-default weights
+    # (2/5/0.01) — the same convention as evaluate.py's "elbo" block — so
+    # fold ELBOs are comparable across checkpoints/recipes.  It is NOT the
+    # training objective (w_env=3, w_frq=6, w_kld=args.w_kld); train_best's
+    # val_elbo, which drives checkpoint selection, uses the recipe weights.
     eval_step = make_eval_step(cfg)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".",
                 exist_ok=True)

@@ -87,15 +87,16 @@ if args.val_banks:
                          "docs/PERF.md CV section)")
     # interleaved bank pick (contiguous blocks confound with the corpus's
     # bank numbering — same rationale as cv_generalization.fold_banks)
+    if args.val_every < 1:
+        raise SystemExit(f"--val-every must be >= 1, got {args.val_every}")
     stride = max(1, n_banks // args.val_banks)
     val_banks = list(range(0, n_banks, stride))[: args.val_banks]
     vmask = np.isin(np.arange(len(batch.X)) // 32, val_banks)
     val, batch = batch[vmask], batch[~vmask]
-    VX = np.asarray(val.X, np.float32)
-    VP = np.asarray(val.params, np.int32)
-    VA = np.asarray(val.adj, np.float32)
-    print(f"validation split: banks {val_banks} ({len(VX)} patches held "
+    print(f"validation split: banks {val_banks} ({len(val.X)} patches held "
           f"out of {len(vmask)})")
+else:
+    val = None
 if args.augment_orbit is not None:
     from dxvae_tpu.data.algorithms import orbit_augment
     n_base = len(batch.X)  # train split only — val banks are never augmented
@@ -106,8 +107,17 @@ if args.augment_orbit is not None:
 elif args.canonicalize_orbit:
     from dxvae_tpu.data.algorithms import canonicalize_orbit
     batch = canonicalize_orbit(batch)
+    if val is not None:
+        # objective consistency: the decoder is trained on canonical
+        # presentations only, so val ELBO on non-canonical patches would
+        # mix generalization with orbit-presentation mismatch
+        val = canonicalize_orbit(val)
     print(f"orbit canonicalization: {len(batch.X)} patches -> canonical "
           "presentation")
+if val is not None:
+    VX = np.asarray(val.X, np.float32)
+    VP = np.asarray(val.params, np.int32)
+    VA = np.asarray(val.adj, np.float32)
 X = np.asarray(batch.X, np.float32)
 P = np.asarray(batch.params, np.int32)
 A = np.asarray(batch.adj, np.float32)

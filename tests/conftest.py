@@ -17,8 +17,14 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+import sys
+
 import numpy as np
 import pytest
+
+# repo root on sys.path regardless of how pytest was invoked: tests load
+# measured-workflow scripts through the one shared loader (scripts._lib)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_DATA = "/root/reference/DX_data"
 

@@ -298,15 +298,11 @@ def test_ab_orbit_script_micro_run(tmp_path):
     """scripts/ab_orbit.py end to end at micro scale: both arms train on a
     step-matched budget, every run appends a JSON line with the evaluation
     columns, and the aggregate covers both arms."""
-    import importlib.util
     import json
-    import pathlib
 
-    root = pathlib.Path(__file__).resolve().parents[1]
-    spec = importlib.util.spec_from_file_location(
-        "ab_orbit", root / "scripts" / "ab_orbit.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
+    from scripts._lib import load_sibling
+
+    mod = load_sibling("ab_orbit")
 
     out = tmp_path / "ab.jsonl"
     mod.main(["--size-h", "32", "--size-z", "8", "--no-unroll",

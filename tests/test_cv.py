@@ -1,18 +1,10 @@
 """scripts/cv_generalization.py: leave-banks-out cross-validation harness."""
-import importlib.util
 import json
 import pathlib
 
 import numpy as np
 
-
-def _load(name):
-    root = pathlib.Path(__file__).resolve().parents[1]
-    spec = importlib.util.spec_from_file_location(
-        name, root / "scripts" / f"{name}.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+from scripts._lib import load_sibling as _load
 
 
 def test_fold_banks_partition():

@@ -189,15 +189,9 @@ def test_prior_save_load_extensionless_path(tmp_path):
 # ---------------------------------------------------------------------------
 
 def _load_script(name):
-    import importlib.util
-    import pathlib
+    from scripts._lib import load_sibling
 
-    root = pathlib.Path(__file__).resolve().parents[1]
-    spec = importlib.util.spec_from_file_location(
-        name, root / "scripts" / f"{name}.py")
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return load_sibling(name)
 
 
 def test_flow_fit_learns_an_offset_gaussian():

@@ -591,3 +591,47 @@ def test_http_micro_batching_end_to_end(bundle):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_micro_batching_rejects_bad_shapes_alone(bundle):
+    """Per-request shape validation runs BEFORE submit(): a malformed body
+    arriving inside the window gets its own 400 while concurrently merged
+    valid requests still succeed (no poisoned np.concatenate)."""
+    import http.client
+    import json
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import make_server
+
+    model, path, _ = bundle
+    httpd = make_server(path, batch_window_ms=500.0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+
+        def post(body):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request("POST", "/v1/decode", json.dumps(body),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read())
+            finally:
+                conn.close()
+
+        good = {"z": np.zeros((1, 16), np.float32).tolist()}
+        post(good)  # warm
+        bads = [{"z": [[0.0] * 15]},   # wrong latent width
+                {"z": [0.0] * 16},     # 1-D
+                {"z": []}]             # empty batch
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            futs = [ex.submit(post, good)] + [ex.submit(post, b)
+                                              for b in bads]
+            results = [f.result(timeout=120) for f in futs]
+        assert results[0][0] == 200
+        for st, body in results[1:]:
+            assert st == 400 and "shape" in body["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
