@@ -18,6 +18,14 @@ Endpoints (JSON bodies; arrays as nested lists):
 * ``POST /v1/encode`` ``{X, adj}`` -> ``{mu, std}``
 * ``POST /v1/decode`` ``{z}`` -> ``{X, params, adj}``
 * ``POST /v1/roundtrip`` ``{X, adj}`` -> ``{X, params, adj}``
+
+The three tensor endpoints also speak a binary wire format: POST the same
+arrays as an ``.npz`` body (``np.savez(buf, X=..., adj=...)``) with
+``Content-Type: application/x-npz`` and the response comes back as an
+``.npz`` of the same keys the JSON form uses — skipping the tensor<->JSON
+lists conversion measured at ~18 ms/request at batch 32 (docs/PERF.md
+"HTTP frontend layer cost").  Composes with micro-batching (the wire
+format is handled per-request, outside the merge).
 * ``POST /v1/search`` ``{X, adj | syx_base64 [, voice], k?, metric?}`` ->
   ``{hits: [{idx, distance, name, bank, voice, alg}]}`` — latent k-NN over
   a loaded index (``make_server(index_path=...)`` / CLI ``--search-index``);
@@ -153,15 +161,38 @@ def _graph_json(G: GraphBatch) -> dict:
 class _BundleHandler(BaseHTTPRequestHandler):
     server_version = "dxvae-tpu-serve/1"
     protocol_version = "HTTP/1.1"
+    # TCP_NODELAY: without it, Nagle + the peer's delayed ACK stalls the
+    # response body ~40 ms behind the header write (measured on the binary
+    # wire at batch 32: 43 ms of a 52 ms request was this stall)
+    disable_nagle_algorithm = True
 
     def log_message(self, fmt, *args):  # quiet by default
         if getattr(self.server, "verbose", False):
             super().log_message(fmt, *args)
 
+    _NPZ = "application/x-npz"
+
     def _json(self, code: int, obj: dict) -> None:
         body = json.dumps(obj).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _tensors(self, code: int, arrays: dict) -> None:
+        """Tensor response in the request's wire format: an ``.npz`` body if
+        the request was ``.npz``, JSON nested lists otherwise."""
+        if not getattr(self, "_npz", False):
+            return self._json(code, {k: np.asarray(v).tolist()
+                                     for k, v in arrays.items()})
+        import io
+
+        buf = io.BytesIO()
+        np.savez(buf, **{k: np.asarray(v) for k, v in arrays.items()})
+        body = buf.getvalue()
+        self.send_response(code)
+        self.send_header("Content-Type", self._NPZ)
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -183,11 +214,31 @@ class _BundleHandler(BaseHTTPRequestHandler):
         })
 
     def do_POST(self):
+        ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+        self._npz = ctype == self._NPZ
         try:
             n_bytes = int(self.headers.get("Content-Length") or 0)
-            req = json.loads(self.rfile.read(n_bytes) or b"{}")
-            if not isinstance(req, dict):
-                raise ValueError("body must be a JSON object")
+            body = self.rfile.read(n_bytes)
+            if self._npz:
+                if self.path not in ("/v1/encode", "/v1/decode",
+                                     "/v1/roundtrip"):
+                    return self._json(400, {
+                        "error": f"{self._NPZ} bodies are only accepted on "
+                                 "the tensor endpoints "
+                                 "(/v1/encode, /v1/decode, /v1/roundtrip)"})
+                import io
+                import zipfile
+                try:  # np.load default allow_pickle=False: data-only, safe
+                    with np.load(io.BytesIO(body)) as f:
+                        req = {k: f[k] for k in f.files}
+                except (ValueError, OSError, EOFError, KeyError,
+                        zipfile.BadZipFile) as e:
+                    raise ValueError(f"not a readable .npz body: {e}") \
+                        from None
+            else:
+                req = json.loads(body or b"{}")
+                if not isinstance(req, dict):
+                    raise ValueError("body must be a JSON object")
         except (ValueError, json.JSONDecodeError) as e:
             return self._json(400, {"error": f"bad request body: {e}"})
         srv: ServedDXVAE = self.server.model
@@ -221,8 +272,7 @@ class _BundleHandler(BaseHTTPRequestHandler):
                 else:
                     with self.server.lock:
                         mu, std = srv.encode((X, adj))
-                return self._json(200, {"mu": np.asarray(mu).tolist(),
-                                        "std": np.asarray(std).tolist()})
+                return self._tensors(200, {"mu": mu, "std": std})
             if self.path == "/v1/decode":
                 z = np.asarray(req["z"], np.float32)
                 _check_batch("z", z, cfg["size_z"])
@@ -231,7 +281,8 @@ class _BundleHandler(BaseHTTPRequestHandler):
                 else:
                     with self.server.lock:
                         G = srv.decode(z)
-                return self._json(200, _graph_json(G))
+                return self._tensors(200, {"X": G.X, "params": G.params,
+                                           "adj": G.adj})
             if self.path == "/v1/roundtrip":
                 X = np.asarray(req["X"], np.float32)
                 adj = np.asarray(req["adj"], np.float32)
@@ -245,7 +296,8 @@ class _BundleHandler(BaseHTTPRequestHandler):
                 else:
                     with self.server.lock:
                         G = srv.encode_decode((X, adj))
-                return self._json(200, _graph_json(G))
+                return self._tensors(200, {"X": G.X, "params": G.params,
+                                           "adj": G.adj})
             if self.path == "/v1/search":
                 index = self.server.index
                 if index is None:

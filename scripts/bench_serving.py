@@ -125,6 +125,28 @@ def main():
 
             http_req()  # warm the server's artifact cache
             t_http = med(http_req)
+
+            # binary wire: same endpoint, .npz request AND response —
+            # measures what the JSON-lists conversion actually costs
+            import io
+
+            nbuf = io.BytesIO()
+            np.savez(nbuf, X=Xn, adj=adjn)
+            npz_body = nbuf.getvalue()
+
+            def npz_req():
+                conn.request("POST", "/v1/roundtrip", npz_body,
+                             {"Content-Type": "application/x-npz"})
+                resp = conn.getresponse()
+                raw = resp.read()
+                if resp.status != 200:
+                    raise SystemExit(f"server error {resp.status}: "
+                                     f"{raw[:200]}")
+                with np.load(io.BytesIO(raw)) as f:
+                    _ = f["params"]  # materialize like the JSON arm does
+
+            npz_req()
+            t_npz = med(npz_req)
         finally:
             httpd.shutdown()
             httpd.server_close()
@@ -135,8 +157,11 @@ def main():
             "direct_per_request_ms": round(t_direct * 1e3, 2),
             "http_per_request_ms": round(t_http * 1e3, 2),
             "http_overhead_ms": round((t_http - t_direct) * 1e3, 2),
-            "note": "localhost HTTP+JSON frontend over the same artifact; "
-                    "the overhead is host-side (chip-independent)",
+            "npz_per_request_ms": round(t_npz * 1e3, 2),
+            "npz_overhead_ms": round((t_npz - t_direct) * 1e3, 2),
+            "note": "localhost HTTP frontend over the same artifact; "
+                    "overheads are host-side (chip-independent); npz = "
+                    "binary wire (Content-Type: application/x-npz)",
         }))
 
         if args.http_concurrency:

@@ -635,3 +635,64 @@ def test_http_micro_batching_rejects_bad_shapes_alone(bundle):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_http_npz_wire_format(bundle):
+    """Binary .npz bodies on the tensor endpoints: response is an .npz of
+    the same keys as the JSON form and matches the direct model exactly;
+    non-tensor routes and unreadable bodies get JSON 400s."""
+    import http.client
+    import io
+    import json
+    import threading
+
+    from dxvae_tpu.serving_http import make_server
+
+    model, path, _ = bundle
+    httpd = make_server(path)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+
+        def post(route, body, ctype="application/x-npz"):
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request("POST", route, body, {"Content-Type": ctype})
+                r = conn.getresponse()
+                return r.status, r.getheader("Content-Type"), r.read()
+            finally:
+                conn.close()
+
+        z = np.random.default_rng(3).standard_normal((5, 16)).astype(np.float32)
+        buf = io.BytesIO()
+        np.savez(buf, z=z)
+        st, ct, raw = post("/v1/decode", buf.getvalue())
+        assert st == 200 and ct == "application/x-npz"
+        with np.load(io.BytesIO(raw)) as f:
+            out = {k: f[k] for k in f.files}
+        assert set(out) == {"X", "params", "adj"}
+        G = model.decode(z)
+        np.testing.assert_array_equal(out["params"], np.asarray(G.params))
+        np.testing.assert_array_equal(out["adj"], np.asarray(G.adj))
+
+        # encode over npz too, float64 input coerced like the JSON path
+        buf = io.BytesIO()
+        np.savez(buf, X=np.asarray(G.X, np.float64),
+                 adj=np.asarray(G.adj, np.float64))
+        st, ct, raw = post("/v1/encode", buf.getvalue())
+        assert st == 200 and ct == "application/x-npz"
+        with np.load(io.BytesIO(raw)) as f:
+            mu_d, _ = model.encode(G)
+            np.testing.assert_array_equal(f["mu"], np.asarray(mu_d))
+
+        # npz on a non-tensor route -> 400, JSON error
+        st, ct, raw = post("/v1/generate", buf.getvalue())
+        assert st == 400 and ct == "application/json"
+        assert "tensor endpoints" in json.loads(raw)["error"]
+
+        # garbage bytes -> 400, not a crash
+        st, _, raw = post("/v1/decode", b"\x00not-a-zip")
+        assert st == 400 and "npz" in json.loads(raw)["error"]
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
