@@ -201,7 +201,7 @@ class _BundleHandler(BaseHTTPRequestHandler):
         if self.path != "/healthz":
             return self._json(404, {"error": f"unknown route {self.path!r}"})
         man = self.server.model.manifest
-        self._json(200, {
+        health = {
             "ok": True,
             "bundle_version": man["bundle_version"],
             "dxvae_tpu_version": man["dxvae_tpu_version"],
@@ -211,7 +211,15 @@ class _BundleHandler(BaseHTTPRequestHandler):
             # clients need the tensor contract (size_z for /v1/decode,
             # n_nodes/size_x for /v1/encode) without loading the bundle
             "cfg": man["cfg"],
-        })
+        }
+        if self.server.batchers:
+            # merge-ratio observability: calls/requests << 1 means the
+            # window is earning its latency; == 1 means it only adds delay
+            health["micro_batching"] = {
+                name: {"requests": mb.n_requests, "calls": mb.n_calls,
+                       "window_ms": mb.window_s * 1e3}
+                for name, mb in self.server.batchers.items()}
+        self._json(200, health)
 
     def do_POST(self):
         ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()

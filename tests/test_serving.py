@@ -582,6 +582,16 @@ def test_http_micro_batching_end_to_end(bundle):
         assert all(st == 200 for st, _ in results)
         merged_calls = httpd.batchers["decode"].n_calls - before
         assert merged_calls < 4, "no cross-request merging happened"
+        # /healthz exposes the merge counters for observability
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        try:
+            conn.request("GET", "/healthz")
+            h = json.loads(conn.getresponse().read())
+        finally:
+            conn.close()
+        dec = h["micro_batching"]["decode"]
+        assert dec["requests"] >= 5 and dec["calls"] < dec["requests"]
+        assert dec["window_ms"] == 1000.0
         G = model.decode(zs.reshape(4, 16))
         for i, (_, out) in enumerate(results):
             np.testing.assert_array_equal(
