@@ -706,3 +706,22 @@ def test_http_npz_wire_format(bundle):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+def test_soak_harness_micro_run(bundle):
+    """scripts/soak_serving.py end to end at micro scale: mixed-endpoint
+    closed-loop load finishes cleanly with zero server-side errors and a
+    well-formed percentile report."""
+    from scripts._lib import load_sibling
+
+    _, path, _ = bundle
+    soak = load_sibling("soak_serving")
+    rep = soak.run_soak(path, seconds=2.0, clients=3, wire="npz",
+                        batch_window_ms=50.0)
+    assert rep["errors"] == {"4xx": 0, "5xx": 0, "transport": 0}
+    assert rep["requests_ok"] >= 1
+    assert set(rep["endpoints"]) == {"/v1/decode", "/v1/roundtrip",
+                                     "/v1/encode", "/v1/generate"}
+    done = [e for e in rep["endpoints"].values() if e["n"]]
+    assert done and all(e["p50_ms"] > 0 for e in done)
+    assert "micro_batching" in rep  # window was on -> counters reported
