@@ -45,7 +45,9 @@ from dxvae_tpu.models.prior import (
 )
 from dxvae_tpu.parallel.distributed import is_primary
 from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
-from dxvae_tpu.parallel.train import TrainState, init_train_state, make_optimizer, make_train_step
+from dxvae_tpu.parallel.train import (TrainState, init_train_state,
+                                      make_eval_step, make_optimizer,
+                                      make_train_step)
 from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
 from dxvae_tpu.utils.metrics import MetricsLogger
 
@@ -397,6 +399,8 @@ class DXVAE:
         n_model: int = 1,
         shuffle_seed: int | None = None,
         save_every: int = 1,
+        val_split: GraphBatch | None = None,
+        val_every: int = 1,
     ):
         """AdamW training loop with reference semantics: shuffle every epoch,
         ``floor(n / size_batch)`` iterations (remainder dropped), per-batch
@@ -409,6 +413,16 @@ class DXVAE:
         over the mesh 'model' axis (Megatron-style column/row split,
         parallel/mesh.py); weights and AdamW moments live sharded for the
         whole run.
+
+        ``val_split`` (beyond-reference) scores a held-out GraphBatch with
+        the eval-mode ELBO under THESE loss weights every ``val_every``
+        epochs and, when ``checkpoint`` is set, keeps the best-val weights
+        in ``<checkpoint>.best.npz`` alongside the final ones.  Measured:
+        val ELBO and argmax metrics diverge over training time, so ship the
+        best-val artifact for likelihood/coverage objectives and the final
+        weights for sharp reconstruction (docs/PERF.md "Validation-split
+        checkpoint selection").  The caller owns the split (the CLI's
+        ``--val-banks`` carves interleaved banks out before augmentation).
         """
         X_all = np.asarray(G_true.X, np.float32)
         P_all = np.asarray(G_true.params, np.int32)
@@ -455,6 +469,11 @@ class DXVAE:
                 f"n_model={n_model}; pick size_batch divisible by the global "
                 f"data-parallel size"
             )
+        if val_split is not None:
+            if val_every < 1:
+                raise ValueError(f"val_every must be >= 1, got {val_every}")
+            if len(val_split) == 0:
+                raise ValueError("val_split is empty")
         # validation above consumes nothing; only from here on does the call
         # advance the model's key stream (a rejected call must leave the
         # stream untouched so a retry reproduces the no-failed-call run)
@@ -467,6 +486,20 @@ class DXVAE:
             params=jax.tree.map(jnp.copy, self.params),
         )
         step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
+        if val_split is not None:
+            # val ELBO under the TRAINING weights (the objective being
+            # optimized); evaluate.py's cross-checkpoint ELBO uses the
+            # reference-default weights instead — different tools
+            eval_fn = make_eval_step(self.cfg, LossWeights(w_env, w_frq, w_kld))
+            VX = np.asarray(val_split.X, np.float32)
+            VP = np.asarray(val_split.params, np.int32)
+            VA = np.asarray(val_split.adj, np.float32)
+            best_val, best_epoch = float("inf"), -1
+            best_path = None
+            if checkpoint is not None:
+                stem = (checkpoint[:-4] if str(checkpoint).endswith(".npz")
+                        else str(checkpoint))
+                best_path = stem + ".best.npz"
 
         mesh = make_mesh(n_data=n_data, n_model=n_model)
         sharding = batch_sharding(mesh)
@@ -557,6 +590,25 @@ class DXVAE:
                 raise FloatingPointError(
                     f"non-finite loss {last} at epoch {epoch}; {where}"
                 )
+            if val_split is not None and (
+                epoch % val_every == 0 or epoch == total_epochs - 1
+            ):
+                # every rank computes (the jitted eval is collective under
+                # TP shardings); the loss is replicated so all ranks agree
+                # on "best" and all reach the gather below together
+                v = float(eval_fn(state.params, VX, VP, VA)["loss"])
+                mark = ""
+                if v < best_val:
+                    best_val, best_epoch = v, epoch
+                    mark = "  (new best)"
+                    if best_path is not None:
+                        best_state = _gather(state)  # collective: all ranks
+                        if primary:
+                            save_checkpoint(best_path, best_state)
+                            mark = f"  (new best -> {best_path})"
+                if primary:
+                    print(f"epoch: {epoch}\tval_loss: {v:.6f}{mark}",
+                          flush=True)
             if checkpoint is not None and (
                 (epoch + 1) % save_every == 0 or epoch == total_epochs - 1
             ):
@@ -574,6 +626,10 @@ class DXVAE:
             state = _gather(state)
         self.params = state.params
         self._trained_steps = step_base + total_epochs * n_iters
+        if val_split is not None and primary:
+            kept = f"; kept in {best_path}" if best_path else ""
+            print(f"best val_loss {best_val:.6f} at epoch {best_epoch}{kept}",
+                  flush=True)
         log.finished()
         return state
 

@@ -266,6 +266,19 @@ def build_parser() -> argparse.ArgumentParser:
                                  "before training (one decoder target per "
                                  "latent; the augmentation's complement — "
                                  "mutually exclusive with --augment-orbit)")
+            sp.add_argument("--val-banks", type=int, default=None,
+                            metavar="K",
+                            help="hold out K interleaved banks as a "
+                                 "validation split (excluded before any "
+                                 "orbit transform): val loss printed every "
+                                 "--val-every epochs, best-val weights kept "
+                                 "in <checkpoint>.best.npz (beyond-"
+                                 "reference; K >= 2 — single-bank val is "
+                                 "noise-dominated, docs/PERF.md)")
+            sp.add_argument("--val-every", type=int, default=None,
+                            dest="val_every_epochs", metavar="N",
+                            help="epochs between val evaluations "
+                                 "(default 1; with --val-banks)")
 
     common(sub.add_parser("train-new", help="train from scratch (main.py:12)"), train=True)
     common(sub.add_parser("train-on", help="resume from checkpoint (main.py:18)"), train=True)
@@ -469,7 +482,7 @@ def main(argv=None) -> int:
     for flag in (
         "raw_dir", "checkpoint", "seed", "epochs", "size_batch", "lr",
         "w_env", "w_frq", "w_kld", "metrics_csv", "n_data", "n_model",
-        "augment_orbit",
+        "augment_orbit", "val_banks", "val_every_epochs",
     ):
         v = getattr(args, flag, None)
         if v is not None:
@@ -501,6 +514,25 @@ def main(argv=None) -> int:
 
     if args.cmd in ("train-new", "train-on"):
         G = _load_graphs(args)
+        val = None
+        if cfg.val_banks:
+            # carve the val split BEFORE any orbit transform: val banks are
+            # never augmented (same contract as scripts/train_best.py)
+            if len(G) % 32:
+                raise SystemExit(
+                    f"--val-banks needs a bank-aligned corpus (32 voices "
+                    f"per bank); got {len(G)} patches")
+            n_banks = len(G) // 32
+            if not 2 <= cfg.val_banks < n_banks:
+                raise SystemExit(
+                    f"--val-banks must be in [2, {n_banks}) — single-bank "
+                    "val is noise-dominated (docs/PERF.md CV section)")
+            stride = max(1, n_banks // cfg.val_banks)
+            vb = list(range(0, n_banks, stride))[: cfg.val_banks]
+            mask = np.isin(np.arange(len(G)) // 32, vb)
+            val, G = G[mask], G[~mask]
+            print(f"validation split: banks {vb} ({len(val)} patches "
+                  "held out)")
         if cfg.augment_orbit is not None:
             from dxvae_tpu.data.algorithms import orbit_augment
 
@@ -515,6 +547,10 @@ def main(argv=None) -> int:
             from dxvae_tpu.data.algorithms import canonicalize_orbit
 
             G = canonicalize_orbit(G)
+            if val is not None:
+                # objective consistency: the decoder trains on canonical
+                # presentations only, so val must be canonical too
+                val = canonicalize_orbit(val)
             print(f"orbit canonicalization: {len(G)} patches -> canonical "
                   "presentation")
         fn = train_new if args.cmd == "train-new" else train_on
@@ -525,6 +561,7 @@ def main(argv=None) -> int:
             # a resumed run extends its CSV history; a fresh one truncates
             metrics_append=(args.cmd == "train-on"),
             n_data=cfg.n_data, n_model=cfg.n_model, save_every=cfg.save_every_epochs,
+            val_split=val, val_every=cfg.val_every_epochs,
         )
     elif args.cmd == "decode-test":
         G = _load_graphs(args)

@@ -45,6 +45,12 @@ class TrainConfig:
     # augmentation's complement (one decoder target per latent); mutually
     # exclusive with augment_orbit
     canonicalize_orbit: bool = False
+    # hold out this many interleaved banks as a validation split: val ELBO
+    # scored every val_every_epochs, best-val weights kept alongside the
+    # final checkpoint (<checkpoint>.best.npz).  None/0 = off.  Minimum 2 —
+    # single-bank val is noise-dominated (docs/PERF.md CV section)
+    val_banks: int | None = None
+    val_every_epochs: int = 1
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2)

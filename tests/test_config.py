@@ -117,3 +117,38 @@ def test_metrics_csv_truncate_vs_append(tmp_path):
     log.finished()
     rows = list(csv.DictReader(open(path)))
     assert [r["step"] for r in rows] == ["1", "2", "3"]  # extended, one header
+
+
+def test_cli_val_banks_carves_split(dataset, tmp_path, monkeypatch):
+    """--val-banks K: interleaved banks carved out BEFORE training and
+    passed as val_split; K<2 and non-bank-aligned corpora are rejected."""
+    import numpy as np
+    import pytest
+
+    import dxvae_tpu.cli as cli
+
+    captured = {}
+
+    def fake_train_new(G, chk, *a, **kw):
+        captured.update(G=G, **kw)
+
+    monkeypatch.setattr(cli, "train_new", fake_train_new)
+    G128 = dataset[:128]  # 4 banks
+    monkeypatch.setattr(cli, "_load_graphs", lambda args: G128)
+
+    cli.main(["train-new", "--val-banks", "2",
+              "--checkpoint", str(tmp_path / "c.npz")])
+    assert len(captured["val_split"]) == 64 and len(captured["G"]) == 64
+    assert captured["val_every"] == 1
+    # interleaved pick: banks 0 and 2 (stride 4//2) -> patches 0..31, 64..95
+    np.testing.assert_array_equal(
+        np.asarray(captured["val_split"].params),
+        np.asarray(G128.params[np.r_[0:32, 64:96]]))
+
+    with pytest.raises(SystemExit, match="val-banks must be in"):
+        cli.main(["train-new", "--val-banks", "1",
+                  "--checkpoint", str(tmp_path / "c.npz")])
+    monkeypatch.setattr(cli, "_load_graphs", lambda args: G128[:100])
+    with pytest.raises(SystemExit, match="bank-aligned"):
+        cli.main(["train-new", "--val-banks", "2",
+                  "--checkpoint", str(tmp_path / "c.npz")])

@@ -35,7 +35,8 @@ def test_dxvae_documented_signatures():
     assert params_of(DXVAE.train)[1:] == [
         "G_true", "epochs", "size_batch", "lr", "checkpoint",
         "w_env", "w_frq", "w_kld", "metrics_csv", "metrics_append",
-        "extra_epoch", "n_data", "n_model", "shuffle_seed", "save_every"]
+        "extra_epoch", "n_data", "n_model", "shuffle_seed", "save_every",
+        "val_split", "val_every"]
     assert params_of(DXVAE.fit_prior)[1:] == [
         "G", "n_components", "samples_per_patch", "n_iters", "reg_covar"]
     # no-arg sample() is a documented reference-parity guarantee

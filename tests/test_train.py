@@ -337,3 +337,33 @@ def test_orbax_checkpoint_roundtrip(tmp_path, dataset):
     back = load_checkpoint_orbax(ck2, init_params(jax.random.PRNGKey(3), CFG))
     for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_val_split_selection(dataset, tmp_path, capsys):
+    """api.DXVAE.train(val_split=...): val loss scored on the cadence under
+    the training weights, best-val weights kept in <checkpoint>.best.npz
+    (loadable at the right sizes), bad arguments rejected up front."""
+    import pytest
+
+    from dxvae_tpu.api import DXVAE
+    from dxvae_tpu.utils.checkpoint import infer_sizes
+
+    model = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    train, val = dataset[:96], dataset[96:128]
+    ck = tmp_path / "v.npz"
+    model.train(train, epochs=2, size_batch=48, checkpoint=str(ck),
+                extra_epoch=False, shuffle_seed=0, n_data=1,
+                val_split=val, val_every=1)
+    out = capsys.readouterr().out
+    assert out.count("val_loss:") == 2       # every epoch at val_every=1
+    assert "best val_loss" in out
+    best = tmp_path / "v.best.npz"
+    assert ck.exists() and best.exists()
+    assert infer_sizes(str(best)) == (32, 8)
+
+    model2 = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    with pytest.raises(ValueError, match="val_every"):
+        model2.train(train, epochs=1, size_batch=48, val_split=val,
+                     val_every=0)
+    with pytest.raises(ValueError, match="empty"):
+        model2.train(train, epochs=1, size_batch=48, val_split=val[:0])
