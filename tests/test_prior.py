@@ -246,3 +246,57 @@ def test_ab_flow_prior_script_micro_run(tmp_path):
     assert np.isfinite(recs[2]["val_mse"])  # the flow's overfit guard
     assert set(agg) == {"standard", "gmm", "flow"}
     assert agg["flow"]["n_runs"] == 1
+
+
+# ---------------------------------------------------------------------------
+# scripts/latent_edit.py — latent attribute-direction editing harness
+# ---------------------------------------------------------------------------
+
+def test_latent_edit_direction_math():
+    """Centroid-difference direction: unit norm, points low->high, and the
+    projection std matches the corpus spread along it."""
+    mod = _load_script("latent_edit")
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 8, size=200).astype(np.float64)
+    # latents whose first coordinate carries the attribute exactly
+    mu = rng.standard_normal((200, 8)) * 0.1
+    mu[:, 0] = vals
+    d, sigma = mod.direction(mu, vals)
+    assert abs(np.linalg.norm(d) - 1.0) < 1e-9
+    assert d[0] > 0.99  # recovered the attribute axis
+    assert abs(sigma - (mu @ d).std()) < 1e-9
+    with pytest.raises(ValueError):
+        mod.direction(np.zeros((10, 4)), np.zeros(10))
+
+
+def test_latent_edit_script_micro_run(tmp_path, dataset):
+    """End to end at micro scale on CPU: one JSON line per attribute with
+    the per-alpha rows and the verdict fields, churn anchored at alpha=0."""
+    import json
+
+    from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+    mod = _load_script("latent_edit")
+    m = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    ck = tmp_path / "tiny.npz"
+    save_checkpoint(ck, m.params, params_only=True)
+    out = tmp_path / "edit.jsonl"
+    reports = mod.main([
+        "--checkpoint", str(ck), "--no-unroll", "--n", "8",
+        "--alphas=-1,0,1", "--out", str(out)])
+    rows = [json.loads(l) for l in out.read_text().splitlines()]
+    assert [r["attr"] for r in rows] == ["feedback", "op_level"]
+    for r in rows:
+        assert r["n"] == 8 and r["sigma"] > 0
+        assert [s["alpha"] for s in r["steps"]] == [-1.0, 0.0, 1.0]
+        zero = r["steps"][1]
+        assert zero["off_target_churn"] == 0.0
+        assert zero["topology_retained"] == 1.0
+        for s in r["steps"]:
+            assert np.isfinite(s["target_mean"])
+        assert isinstance(r["monotonic"], bool)
+        assert isinstance(r["directional"], bool)
+        assert r["endpoint_delta"] == pytest.approx(
+            r["steps"][-1]["target_mean"] - r["steps"][0]["target_mean"],
+            abs=2e-3)
+    assert reports[0]["attr"] == "feedback"
