@@ -56,14 +56,33 @@ def direction(mu, vals, quantile=0.25):
 
 
 def edit_report(model, G, attr, alphas=(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
-                n=64, quantile=0.25, seed=0):
+                n=64, quantile=0.25, seed=0, orthogonalize=False):
     """Apply the attribute direction at each alpha to ``n`` patches'
-    posterior means and score the decodes.  Returns a JSON-able dict."""
+    posterior means and score the decodes.  Returns a JSON-able dict.
+
+    ``orthogonalize=True`` Gram-Schmidts the direction against every OTHER
+    attribute's direction before use — the standard cure when centroid
+    directions are entangled (each edit then cannot move along the other
+    measured attributes' axes)."""
     P_all = np.asarray(G.params)
     vals = ATTRS[attr](P_all)
     mu, _ = model.encode(G)
     mu = np.asarray(mu, np.float64)
     d, sigma = direction(mu, vals, quantile)
+    cos_vs_others = {}
+    if orthogonalize:
+        for other in ATTRS:
+            if other == attr:
+                continue
+            do, _ = direction(mu, ATTRS[other](P_all), quantile)
+            cos_vs_others[other] = round(float(d @ do), 3)
+            d = d - (d @ do) * do
+        nrm = float(np.linalg.norm(d))
+        if nrm < 1e-6:  # direction lies in the others' span: nothing left
+            raise ValueError(f"{attr} direction vanishes after removing "
+                             f"{sorted(cos_vs_others)}")
+        d = d / nrm
+        sigma = float((mu @ d).std())
 
     idx = np.random.default_rng(seed).choice(len(mu), size=min(n, len(mu)),
                                              replace=False)
@@ -115,7 +134,9 @@ def edit_report(model, G, attr, alphas=(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
             "monotonic_within_1sigma": bool(
                 all(x < y for x, y in zip(core, core[1:]))),
             "endpoint_delta": round(t[-1] - t[0], 3),
-            "directional": bool(t[-1] > t[0])}
+            "directional": bool(t[-1] > t[0]),
+            "orthogonalized": bool(orthogonalize),
+            **({"cos_vs_others": cos_vs_others} if cos_vs_others else {})}
 
 
 def main(argv=None):
@@ -125,6 +146,8 @@ def main(argv=None):
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--alphas", default="-2,-1,-0.5,0,0.5,1,2",
                     help="edit magnitudes in units of the corpus sigma")
+    ap.add_argument("--orthogonalize", action="store_true",
+                    help="remove the other attributes' directions first")
     ap.add_argument("--no-unroll", action="store_true",
                     help="batched-cadence path (fast compile; CPU dev runs)")
     ap.add_argument("--raw-dir", default=None)
@@ -148,7 +171,8 @@ def main(argv=None):
     for attr in [a.strip() for a in args.attrs.split(",") if a.strip()]:
         if attr not in ATTRS:
             raise SystemExit(f"unknown attr {attr!r} (have {sorted(ATTRS)})")
-        rep = edit_report(model, ds.batch, attr, alphas=alphas, n=args.n)
+        rep = edit_report(model, ds.batch, attr, alphas=alphas, n=args.n,
+                          orthogonalize=args.orthogonalize)
         reports.append(rep)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rep) + "\n")

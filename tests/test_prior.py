@@ -300,3 +300,26 @@ def test_latent_edit_script_micro_run(tmp_path, dataset):
             r["steps"][-1]["target_mean"] - r["steps"][0]["target_mean"],
             abs=2e-3)
     assert reports[0]["attr"] == "feedback"
+
+
+def test_latent_edit_orthogonalize(tmp_path):
+    """--orthogonalize removes the other attributes' directions: the report
+    records the raw cosine and the edit still anchors churn at alpha=0."""
+    import json
+
+    from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+    mod = _load_script("latent_edit")
+    m = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    ck = tmp_path / "tiny.npz"
+    save_checkpoint(ck, m.params, params_only=True)
+    out = tmp_path / "edit.jsonl"
+    (rep,) = mod.main([
+        "--checkpoint", str(ck), "--no-unroll", "--n", "4",
+        "--attrs", "feedback", "--alphas=-1,0,1", "--orthogonalize",
+        "--out", str(out)])
+    assert rep["orthogonalized"] is True
+    assert set(rep["cos_vs_others"]) == {"op_level"}
+    assert abs(rep["cos_vs_others"]["op_level"]) <= 1.0
+    assert rep["steps"][1]["off_target_churn"] == 0.0
+    assert json.loads(out.read_text().splitlines()[0])["attr"] == "feedback"
