@@ -56,14 +56,21 @@ def direction(mu, vals, quantile=0.25):
 
 
 def edit_report(model, G, attr, alphas=(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
-                n=64, quantile=0.25, seed=0, orthogonalize=False):
+                n=64, quantile=0.25, seed=0, orthogonalize=False,
+                export_dir=None, checksum="computed"):
     """Apply the attribute direction at each alpha to ``n`` patches'
     posterior means and score the decodes.  Returns a JSON-able dict.
 
     ``orthogonalize=True`` Gram-Schmidts the direction against every OTHER
     attribute's direction before use — the standard cure when centroid
     directions are entangled (each edit then cannot move along the other
-    measured attributes' axes)."""
+    measured attributes' axes).
+
+    ``export_dir`` writes each alpha step's first 32 decoded patches as a
+    playable 32-voice bank ``{attr}_{alpha:+.1f}.syx`` (padded by repeating
+    the last patch if n < 32) so edits can be auditioned in Dexed — the
+    measurement above says whether the direction works, the banks say how
+    it sounds."""
     P_all = np.asarray(G.params)
     vals = ATTRS[attr](P_all)
     mu, _ = model.encode(G)
@@ -108,6 +115,19 @@ def edit_report(model, G, attr, alphas=(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
     else:
         off_mask[1:, 0] = False
 
+    exported = []
+    if export_dir is not None:
+        from dxvae_tpu.graph import GraphBatch
+        from dxvae_tpu.serving import bank_bytes
+
+        os.makedirs(export_dir, exist_ok=True)
+        for a, R, _ in steps:
+            win = GraphBatch(*(np.asarray(f)[:32] for f in R))
+            path = os.path.join(export_dir, f"{attr}_{a:+.1f}.syx")
+            with open(path, "wb") as fh:
+                fh.write(bank_bytes(win, checksum=checksum))
+            exported.append(path)
+
     rows = []
     for a, R, Pd in steps:
         Ad = np.asarray(R.adj)
@@ -136,7 +156,8 @@ def edit_report(model, G, attr, alphas=(-2.0, -1.0, -0.5, 0.0, 0.5, 1.0, 2.0),
             "endpoint_delta": round(t[-1] - t[0], 3),
             "directional": bool(t[-1] > t[0]),
             "orthogonalized": bool(orthogonalize),
-            **({"cos_vs_others": cos_vs_others} if cos_vs_others else {})}
+            **({"cos_vs_others": cos_vs_others} if cos_vs_others else {}),
+            **({"exported": exported} if exported else {})}
 
 
 def main(argv=None):
@@ -148,6 +169,12 @@ def main(argv=None):
                     help="edit magnitudes in units of the corpus sigma")
     ap.add_argument("--orthogonalize", action="store_true",
                     help="remove the other attributes' directions first")
+    ap.add_argument("--export-syx", default=None, metavar="DIR",
+                    help="also write each alpha step's first 32 edited "
+                         "patches as a playable bank DIR/{attr}_{alpha}.syx")
+    ap.add_argument("--checksum", default="computed",
+                    choices=("computed", "parity"),
+                    help="bank checksum mode for --export-syx")
     ap.add_argument("--no-unroll", action="store_true",
                     help="batched-cadence path (fast compile; CPU dev runs)")
     ap.add_argument("--raw-dir", default=None)
@@ -172,7 +199,8 @@ def main(argv=None):
         if attr not in ATTRS:
             raise SystemExit(f"unknown attr {attr!r} (have {sorted(ATTRS)})")
         rep = edit_report(model, ds.batch, attr, alphas=alphas, n=args.n,
-                          orthogonalize=args.orthogonalize)
+                          orthogonalize=args.orthogonalize,
+                          export_dir=args.export_syx, checksum=args.checksum)
         reports.append(rep)
         with open(args.out, "a") as fh:
             fh.write(json.dumps(rep) + "\n")

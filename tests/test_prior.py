@@ -323,3 +323,32 @@ def test_latent_edit_orthogonalize(tmp_path):
     assert abs(rep["cos_vs_others"]["op_level"]) <= 1.0
     assert rep["steps"][1]["off_target_churn"] == 0.0
     assert json.loads(out.read_text().splitlines()[0])["attr"] == "feedback"
+
+
+def test_latent_edit_export_syx(tmp_path):
+    """--export-syx writes one playable padded 32-voice bank per alpha step,
+    framing-valid under the requested real checksum, and the report lists
+    the paths."""
+    from dxvae_tpu.data.sysex import read_syx
+    from dxvae_tpu.utils.checkpoint import save_checkpoint
+
+    mod = _load_script("latent_edit")
+    m = DXVAE(size_H=32, size_Z=8, seed=0, unroll=False)
+    ck = tmp_path / "tiny.npz"
+    save_checkpoint(ck, m.params, params_only=True)
+    banks = tmp_path / "banks"
+    (rep,) = mod.main([
+        "--checkpoint", str(ck), "--no-unroll", "--n", "4",
+        "--attrs", "feedback", "--alphas=-1,0,1",
+        "--export-syx", str(banks), "--checksum", "computed",
+        "--out", str(tmp_path / "edit.jsonl")])
+    names = sorted(p.name for p in banks.iterdir())
+    assert names == ["feedback_+0.0.syx", "feedback_+1.0.syx",
+                     "feedback_-1.0.syx"]
+    assert rep["exported"] and len(rep["exported"]) == 3
+    for p in banks.iterdir():
+        assert p.stat().st_size == 4104
+        voices = read_syx(p, verify_checksum=True)  # computed checksum holds
+        assert voices.shape == (32, 128)
+        # n=4 < 32: the pad repeats the last patch
+        assert (voices[4:] == voices[3]).all()
