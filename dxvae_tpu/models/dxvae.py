@@ -66,6 +66,14 @@ class DXVAEConfig(NamedTuple):
     # trades one extra forward per step for not storing per-step activations —
     # relevant for very large batches
     remat: bool = False
+    # dropout rate on the four decoder MLP heads (h_to_x0 / h_to_x /
+    # h_to_edge_self / h_to_edge), applied after each hidden ReLU during
+    # training-mode loss only (decode/generate and eval-mode losses never
+    # drop).  0.0 (default) is the exact reference-parity path.  NOTE: the
+    # two execution strategies draw different dropout masks, so
+    # test_scan_equals_unrolled only holds at 0.0 — this is a training
+    # regularizer, not a parity path.
+    head_dropout: float = 0.0
     # "float32" (reference-parity numerics); "bfloat16" (everything in the
     # recurrence — weights, state, gates — runs bf16 on the MXU; quantizer
     # grids, thresholds, losses, posterior stay f32); or "bfloat16_mixed"
@@ -200,9 +208,11 @@ def _edge_head_split(params):
     return w1[:, :size_h], w1[:, size_h:], params["h_to_edge"][0]["b"]
 
 
-def _edge_logits(params, h_vi, eh_vj, w1a, b1):
-    l0 = L.matmul_wT(h_vi, w1a) + eh_vj + b1
-    return L.linear(params["h_to_edge"][1], jax.nn.relu(l0))
+def _edge_logits(params, h_vi, eh_vj, w1a, b1, drop=None):
+    l0 = jax.nn.relu(L.matmul_wT(h_vi, w1a) + eh_vj + b1)
+    if drop is not None:
+        l0 = L.dropout(l0, *drop)
+    return L.linear(params["h_to_edge"][1], l0)
 
 
 # --------------------------------------------------------------------------- #
@@ -530,15 +540,23 @@ def elbo_loss(
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
 
+    _drop = lambda: None  # head-dropout site: None = reference-parity path
     if training:
         if key is None:
             raise ValueError("training=True requires a PRNG key for the reparameterized sample")
+        if cfg.head_dropout > 0.0:
+            # one subkey per head call-site (34 = the unrolled cadence's
+            # count; the batched path consumes a prefix).  Split BEFORE the
+            # rsample so dropout != 0 is a distinct-but-deterministic stream
+            key, dkey = jax.random.split(key)
+            _dkeys = iter(jax.random.split(dkey, 34))
+            _drop = lambda: (cfg.head_dropout, next(_dkeys))
         z = mu + std * jax.random.normal(key, mu.shape, mu.dtype)
     else:
         z = mu
 
     h_init = jnp.tanh(L.linear(params["z_to_h"], z.astype(cdt)))
-    x0_pred = L.mlp(params["h_to_x0"], h_init).astype(dt)  # (B, 55) raw head output
+    x0_pred = L.mlp(params["h_to_x0"], h_init, drop=_drop()).astype(dt)  # (B, 55) raw head output
 
     del init_state  # the cadence never reads pre-existing node state; fresh
     # zero state is identical (and lets encode's stacked state be DCE'd)
@@ -588,7 +606,7 @@ def elbo_loss(
     no_loop = jnp.zeros((b,), dt)
     zero_hin = jnp.zeros((b, cfg.size_h), cdt)
 
-    def node_cadence(xi_true, s_true, tins, touts, projs, ehs):
+    def node_cadence(xi_true, s_true, tins, touts, projs, ehs, dks=None):
         """All vi+2 refreshes + self/edge logits of one node, batched.
 
         Refresh r=0 (NODE) and r=1 (SELF) see no incident window edges
@@ -596,6 +614,9 @@ def elbo_loss(
         vj = vi-1 .. vi-1-k (a prefix sum).  The self logit reads refresh 0;
         the edge logit vs the k-th vj reads refresh k+1; refresh vi+1 is the
         node's final hidden state (model.py:311-363 cadence).
+
+        ``dks``: optional pair of dropout keys (self head, edge head) —
+        passed as traced args so a remat'd recompute replays the same masks.
         """
         b_, v = tins.shape
         s = v + 2
@@ -616,9 +637,15 @@ def elbo_loss(
             s_seq.reshape(b_ * s),
             cdt,
         ).reshape(b_, s, cfg.size_h)
-        self_logit = L.mlp(params["h_to_edge_self"], hv_all[:, 0]).astype(dt)
+        d_self = d_edge = None
+        if dks is not None:
+            d_self = (cfg.head_dropout, dks[0])
+            d_edge = (cfg.head_dropout, dks[1])
+        self_logit = L.mlp(params["h_to_edge_self"], hv_all[:, 0], drop=d_self).astype(dt)
         d_le = L.bce_with_logits(self_logit, s_true[:, None]).mean()
-        e_logit = _edge_logits(params, hv_all[:, 1 : s - 1], ehs, w1a, b1).astype(dt)
+        e_logit = _edge_logits(
+            params, hv_all[:, 1 : s - 1], ehs, w1a, b1, drop=d_edge
+        ).astype(dt)
         e_true = jnp.stack([tins, touts], axis=-1)                     # (B, vi, 2)
         d_le = d_le + L.bce_with_logits(e_logit, e_true).mean(0).sum()
         return hv_all[:, -1], d_le
@@ -630,7 +657,7 @@ def elbo_loss(
         eh_row, proj_row = _node_caches(hid_prev, w1b, wp)
         ehl.append(eh_row)
         projl.append(proj_row)
-        xi_pred = L.mlp(params["h_to_x"], hid_prev).astype(dt)
+        xi_pred = L.mlp(params["h_to_x"], hid_prev, drop=_drop()).astype(dt)
         xi_true = X_true[:, vi, :]
         pi_true = params_true[:, vi, :]
 
@@ -652,12 +679,12 @@ def elbo_loss(
             # propagate per teacher-forced edge pair (H_in accumulates one
             # window slot at a time)
             hv = _propagate_list(params, xi_true, zero_hin, no_loop, cdt)
-            self_logit = L.mlp(params["h_to_edge_self"], hv).astype(dt)
+            self_logit = L.mlp(params["h_to_edge_self"], hv, drop=_drop()).astype(dt)
             loss_e = loss_e + L.bce_with_logits(self_logit, s_true[:, None]).mean()
             hv = _propagate_list(params, xi_true, zero_hin, s_true, cdt)
             h_acc = zero_hin
             for vj in order:
-                e_logit = _edge_logits(params, hv, ehl[vj], w1a, b1).astype(dt)
+                e_logit = _edge_logits(params, hv, ehl[vj], w1a, b1, drop=_drop()).astype(dt)
                 e_true = jnp.stack([adj_true[:, vj, vi], adj_true[:, vi, vj]], axis=-1)
                 loss_e = loss_e + L.bce_with_logits(e_logit, e_true).mean(0).sum()
                 h_acc = h_acc + slot_contribution(
@@ -669,6 +696,8 @@ def elbo_loss(
                 hv = _propagate_list(params, xi_true, h_acc, s_true, cdt)
             hid_prev = hv
         else:
+            d = _drop()
+            dks = None if d is None else (d[1], _drop()[1])
             hid_prev, d_le = node_cadence(
                 xi_true,
                 s_true,
@@ -676,6 +705,7 @@ def elbo_loss(
                 jnp.stack([adj_true[:, vi, j] for j in order], axis=1),
                 jnp.stack([projl[j] for j in order], axis=1),
                 jnp.stack([ehl[j] for j in order], axis=1),
+                dks,
             )
             loss_e = loss_e + d_le
 

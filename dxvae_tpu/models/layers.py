@@ -73,11 +73,29 @@ def linear(p, x):
     return y
 
 
-def mlp(layers, x):
+def dropout(x, rate: float, key):
+    """Inverted dropout (torch semantics): zero with probability ``rate``,
+    scale survivors by 1/(1-rate) so activations keep their expectation."""
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(key, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros((), x.dtype))
+
+
+def mlp(layers, x, drop=None):
+    """Linear stack with ReLU between layers.
+
+    ``drop = (rate, key)`` applies dropout after every hidden ReLU (training
+    -time head regularization; the key is split once per hidden layer).
+    ``None`` (default) is the exact reference-parity path."""
     for i, p in enumerate(layers):
         x = linear(p, x)
         if i + 1 < len(layers):
             x = jax.nn.relu(x)
+            if drop is not None:
+                rate, key = drop
+                key, sub = jax.random.split(key)
+                drop = (rate, key)
+                x = dropout(x, rate, sub)
     return x
 
 

@@ -46,9 +46,18 @@ from dxvae_tpu.parallel.train import init_train_state, make_train_step
 from dxvae_tpu.utils.checkpoint import save_checkpoint
 
 
-def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed):
+def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed,
+              weight_decay=0.01, jitter=0.0):
     """Cosine-schedule AdamW run (the train_best.py recipe) on a fixed
-    GraphBatch; returns (params, realized_steps, final_loss, wall_s)."""
+    GraphBatch; returns (params, realized_steps, final_loss, wall_s).
+
+    ``weight_decay``: AdamW decoupled decay (0.01 = the torch-parity default
+    inherited by every prior run).  ``jitter`` > 0 applies host-side
+    within-quantization-bin feature jitter to each batch's X (amount = the
+    fraction of the bin used; data/augment.py) — acoustically identical
+    inputs, fresh every epoch."""
+    from dxvae_tpu.data.augment import jitter_within_bin
+
     X = np.asarray(batch.X, np.float32)
     P = np.asarray(batch.params, np.int32)
     A = np.asarray(batch.adj, np.float32)
@@ -64,7 +73,7 @@ def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed):
     warmup = min(200, max(1, steps // 10))
     sched = optax.warmup_cosine_decay_schedule(0.0, peak_lr, warmup, steps,
                                                peak_lr * 1e-2)
-    opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+    opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=weight_decay)
     state = init_train_state(jax.random.PRNGKey(seed), opt, cfg)
     step = make_train_step(opt, cfg, weights)
     rng = np.random.default_rng(seed)
@@ -76,8 +85,11 @@ def train_one(cfg, weights, batch, total_steps, batch_size, peak_lr, seed):
         perm = rng.permutation(n)
         for i in range(min(iters, steps - done)):
             idx = perm[i * batch_size : (i + 1) * batch_size]
+            bx = X[idx]
+            if jitter > 0.0:
+                bx = jitter_within_bin(bx, P[idx], rng, amount=jitter)
             key, sub = jax.random.split(key)
-            state, last = step(state, X[idx], P[idx], A[idx], sub)
+            state, last = step(state, bx, P[idx], A[idx], sub)
             done += 1
     loss = float(last["loss"])  # sync point: includes all device work
     return state.params, steps, loss, time.time() - t0

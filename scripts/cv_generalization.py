@@ -60,6 +60,16 @@ def main(argv=None):
     ap.add_argument("--size-h", type=int, default=512)
     ap.add_argument("--size-z", type=int, default=128)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--weight-decay", type=float, default=0.01,
+                    help="AdamW decoupled weight decay (0.01 = the torch-"
+                         "parity default every prior run inherited)")
+    ap.add_argument("--dropout", type=float, default=0.0,
+                    help="dropout rate on the four decoder MLP heads during "
+                         "training (DXVAEConfig.head_dropout)")
+    ap.add_argument("--jitter", type=float, default=0.0,
+                    help="within-quantization-bin feature jitter amount in "
+                         "(0,1]: per-batch host-side augmentation of X "
+                         "(data/augment.py); 0 disables")
     ap.add_argument("--fold-start", type=int, default=0,
                     help="first fold to run (resume an interrupted sweep; "
                          "pooling needs all folds present in --out)")
@@ -73,7 +83,7 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z,
-                      unroll=not args.no_unroll)
+                      unroll=not args.no_unroll, head_dropout=args.dropout)
     weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
     from scripts._lib import load_sibling
@@ -116,7 +126,8 @@ def main(argv=None):
                              f"{len(tr)}-patch fold training set")
         params, steps, loss, wall = ab.train_one(
             cfg, weights, tr, args.epochs * iters, args.batch,
-            args.peak_lr, args.seed)
+            args.peak_lr, args.seed,
+            weight_decay=args.weight_decay, jitter=args.jitter)
 
         model = DXVAE(size_H=args.size_h, size_Z=args.size_z,
                       unroll=not args.no_unroll)
@@ -124,7 +135,9 @@ def main(argv=None):
         R_held = model.encode_decode(held)
         row = {"fold": f, "held_banks": folds[f], "n_train": int(len(tr)),
                "n_held": int(len(held)), "steps": steps,
-               "final_loss": round(loss, 4), "wall_s": round(wall, 1)}
+               "final_loss": round(loss, 4), "wall_s": round(wall, 1),
+               "weight_decay": args.weight_decay, "dropout": args.dropout,
+               "jitter": args.jitter}
         row.update({f"held.{k}": v for k, v in
                     ev.reconstruction_metrics(held, R_held).items()})
         m = eval_step(model.params, np.asarray(held.X, np.float32),

@@ -337,3 +337,66 @@ def test_orbit_augment_on_real_corpus_trains():
     model = DXVAE(size_H=32, size_Z=8, unroll=False)
     loss, *_ = model.forward(G[np.arange(0, len(G), max(1, len(G) // 16))])
     assert np.isfinite(float(loss))
+
+
+# --------------------------------------------------------------------------- #
+# within-quantization-bin jitter (data/augment.py)
+# --------------------------------------------------------------------------- #
+
+def _requantize(X, P):
+    """Integer grid points implied by X, per the quantizer grids
+    (models/quantize.py) — the jitter invariant is that these match P on
+    every jittered dim."""
+    from dxvae_tpu.data.augment import _FRQ, _LIN_OP, _LIN_X0
+
+    Q = np.asarray(P).copy()
+    X = np.asarray(X, np.float64)
+    for sl, s in _LIN_X0:
+        Q[:, 0, sl] = np.clip(np.round(X[:, 0, sl] * s), 0, s)
+    for sl, s in _LIN_OP:
+        Q[:, 1:, sl] = np.clip(np.round(X[:, 1:, sl] * s), 0, s)
+    ratio = np.asarray(P)[:, 1:, 18] == 0
+    for d, s_log, s_lin in _FRQ:
+        q_log = np.clip(np.round(np.exp(X[:, 1:, d] * np.log(s_log + 1.0)) - 1.0), 0, s_log)
+        q_lin = np.clip(np.round(X[:, 1:, d] * s_lin), 0, s_lin)
+        Q[:, 1:, d] = np.where(ratio, q_log, q_lin)
+    return Q
+
+
+def test_jitter_within_bin_preserves_quantization():
+    # the real corpus: every patch, full-bin jitter, several draws — the
+    # jittered X must re-quantize to the exact same integer parameters
+    from dxvae_tpu.data.augment import jitter_within_bin
+    from dxvae_tpu.data.dataset import DXDataset
+
+    ds = DXDataset("/root/reference/DX_data", save_dir="/tmp/dx_test_cache",
+                   include="synprez")
+    G = ds.batch
+    X = np.asarray(G.X)
+    P = np.asarray(G.params)
+    assert (_requantize(X, P) == _requantize(X, P)).all()
+    rng = np.random.default_rng(0)
+    for amount in (1.0, 0.5):
+        Xj = jitter_within_bin(X, P, rng, amount=amount)
+        assert Xj.shape == X.shape and Xj.dtype == np.float32
+        np.testing.assert_array_equal(_requantize(Xj, P), _requantize(X, P))
+        # jitter actually moves the scalar dims (full corpus, full bin)
+        assert np.abs(Xj - X).max() > 1e-3
+    # categorical / boolean / padding dims are untouched
+    Xj = jitter_within_bin(X, P, rng)
+    np.testing.assert_array_equal(Xj[:, 0, 15:], X[:, 0, 15:])   # oks/lks/lfw/pad
+    np.testing.assert_array_equal(Xj[:, 1:, 18:], X[:, 1:, 18:])  # mode/lc/rc
+
+
+def test_jitter_amount_validation_and_determinism():
+    from dxvae_tpu.data.augment import jitter_within_bin
+
+    X = np.zeros((2, 7, 27), np.float32)
+    P = np.zeros((2, 7, 21), np.int64)
+    with pytest.raises(ValueError):
+        jitter_within_bin(X, P, np.random.default_rng(0), amount=0.0)
+    with pytest.raises(ValueError):
+        jitter_within_bin(X, P, np.random.default_rng(0), amount=1.5)
+    a = jitter_within_bin(X, P, np.random.default_rng(7))
+    b = jitter_within_bin(X, P, np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)

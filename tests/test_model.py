@@ -353,3 +353,49 @@ def test_bfloat16_mixed_matches_f32_closely(params, real_batch):
     g = jax.grad(lambda p: forward(p, X, P, adj, key=jax.random.PRNGKey(0), training=True,
                                    cfg=DXVAEConfig(compute_dtype="bfloat16_mixed"))[0])(params)
     assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_head_dropout_training_only(params, real_batch):
+    """head_dropout (DXVAEConfig) regularizes the four decoder MLP heads:
+    training-mode losses change and differ across keys, eval-mode losses and
+    decode are bit-identical to the dropout-free config, gradients stay
+    finite, and rate=0 is exactly the reference-parity program."""
+    X, P, adj = real_batch
+    for unroll in (False, True):
+        base = DXVAEConfig(unroll=unroll)
+        drop = DXVAEConfig(unroll=unroll, head_dropout=0.3)
+        k = jax.random.PRNGKey(5)
+        t0, _ = forward(params, X, P, adj, key=k, training=True, cfg=base)
+        t1, _ = forward(params, X, P, adj, key=k, training=True, cfg=drop)
+        t2, _ = forward(params, X, P, adj, key=jax.random.PRNGKey(6),
+                        training=True, cfg=drop)
+        assert float(t0) != float(t1)  # dropout actually fired
+        assert float(t1) != float(t2)  # mask depends on the key
+        # eval mode never drops: identical to the dropout-free config
+        e0, _ = forward(params, X, P, adj, training=False, cfg=base)
+        e1, _ = forward(params, X, P, adj, training=False, cfg=drop)
+        assert float(e0) == float(e1)
+        # decode is inference-only: unaffected by the flag
+        z = jax.random.normal(jax.random.PRNGKey(2), (3, base.size_z))
+        for a, b in zip(decode(params, z, base), decode(params, z, drop)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # gradients flow finitely through the dropout path (batched strategy)
+    g = jax.grad(lambda p: forward(p, X, P, adj, key=jax.random.PRNGKey(3),
+                                   training=True,
+                                   cfg=DXVAEConfig(head_dropout=0.3))[0])(params)
+    assert all(np.isfinite(np.asarray(l)).all() for l in jax.tree.leaves(g))
+
+
+def test_head_dropout_remat_consistent(params, real_batch):
+    """remat must replay identical dropout masks on the recompute: the
+    remat'd and plain losses/gradients agree exactly for the same key."""
+    X, P, adj = real_batch
+    cfg_p = DXVAEConfig(head_dropout=0.3)
+    cfg_r = DXVAEConfig(head_dropout=0.3, remat=True)
+    k = jax.random.PRNGKey(9)
+    f = lambda p, cfg: forward(p, X, P, adj, key=k, training=True, cfg=cfg)[0]
+    tp, gp = jax.value_and_grad(f)(params, cfg_p)
+    tr, gr = jax.value_and_grad(f)(params, cfg_r)
+    np.testing.assert_allclose(float(tp), float(tr), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
