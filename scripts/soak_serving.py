@@ -40,12 +40,32 @@ def percentiles(ts):
 
 
 def run_soak(bundle_path, seconds=60.0, clients=8, batch_window_ms=None,
-             wire="npz", seed=0):
-    """Drive a live in-process server; returns the report dict."""
+             wire="npz", seed=0, adaptive_window=False, call_timeout_s=None,
+             inject_faults=False):
+    """Drive a live in-process server; returns the report dict.
+
+    ``inject_faults=True`` adds hostile traffic and a device stall alongside
+    the normal clients — the hardening soak (VERDICT r3 #3):
+
+    * one client per fault kind: oversized Content-Length (expects 413) and
+      a stalled sender that opens a request then never sends the body
+      (expects the server's read timeout to free the handler thread);
+    * the served ``encode`` is wrapped to stall 3x the watchdog every 7th
+      call, so ``call_timeout_s`` converts real device hangs into 503s.
+
+    The report gains ``faults`` (per-kind client-observed outcomes),
+    ``ledger`` (the server's own /healthz error ledger), and
+    ``threads_leaked`` (alive threads after shutdown minus before startup —
+    must be ~0 or handlers are leaking)."""
     from dxvae_tpu.serving import ServedDXVAE
     from dxvae_tpu.serving_http import make_server
 
-    httpd = make_server(bundle_path, batch_window_ms=batch_window_ms)
+    threads_before = threading.active_count()
+    httpd = make_server(bundle_path, batch_window_ms=batch_window_ms,
+                        adaptive_window=adaptive_window,
+                        call_timeout_s=call_timeout_s,
+                        read_timeout_s=2.0 if inject_faults else 30.0,
+                        max_body_mb=8.0 if inject_faults else 32.0)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     host, port = httpd.server_address[:2]
     srv: ServedDXVAE = httpd.model
@@ -90,7 +110,59 @@ def run_soak(bundle_path, seconds=60.0, clients=8, batch_window_ms=None,
     stats_mu = threading.Lock()
     lat = {route: [] for route, _, _ in workload}
     errors = {"4xx": 0, "5xx": 0, "transport": 0}
+    faults = {"oversize_413": 0, "oversize_other": 0,
+              "stall_dropped": 0, "stall_other": 0, "watchdog_503": 0}
     stop = time.monotonic() + seconds
+
+    if inject_faults:
+        # device-stall injection: every 7th encode sleeps out the watchdog
+        # (3x call_timeout_s, or 6 s), exercising the 503 + ledger path on a
+        # real in-flight artifact call
+        real_encode = srv.encode
+        stall_s = 3.0 * (call_timeout_s or 2.0)
+        n_enc = [0]
+
+        def stalling_encode(G):
+            n_enc[0] += 1
+            if n_enc[0] % 7 == 0:
+                time.sleep(stall_s)
+            return real_encode(G)
+
+        srv.encode = stalling_encode
+
+    def fault_client(kind):
+        import socket as _socket
+
+        while time.monotonic() < stop:
+            try:
+                conn = http.client.HTTPConnection(host, port, timeout=30)
+                if kind == "oversize":
+                    # claim a huge body; the server must 413 without reading
+                    conn.putrequest("POST", "/v1/decode")
+                    conn.putheader("Content-Type", "application/json")
+                    conn.putheader("Content-Length", str(1 << 31))
+                    conn.endheaders()
+                    r = conn.getresponse()
+                    r.read()
+                    with stats_mu:
+                        faults["oversize_413" if r.status == 413
+                               else "oversize_other"] += 1
+                else:  # stall: send headers, then go silent mid-body
+                    conn.putrequest("POST", "/v1/decode")
+                    conn.putheader("Content-Type", "application/json")
+                    conn.putheader("Content-Length", "1000")
+                    conn.endheaders()
+                    conn.send(b'{"z": [[')  # ...never finishes
+                    r = conn.getresponse()  # server read-timeout drops us
+                    r.read()
+                    with stats_mu:
+                        faults["stall_other"] += 1
+                conn.close()
+            except (OSError, http.client.HTTPException, _socket.timeout):
+                with stats_mu:
+                    faults["stall_dropped" if kind == "stall" else
+                           "oversize_other"] += 1
+            time.sleep(0.5)  # hostile-but-slow: don't starve real clients
 
     def client(i):
         conn = http.client.HTTPConnection(host, port, timeout=600)
@@ -124,6 +196,9 @@ def run_soak(bundle_path, seconds=60.0, clients=8, batch_window_ms=None,
 
     threads = [threading.Thread(target=client, args=(i,))
                for i in range(clients)]
+    if inject_faults:
+        threads += [threading.Thread(target=fault_client, args=(k,))
+                    for k in ("oversize", "stall")]
     t0 = time.monotonic()
     for t in threads:
         t.start()
@@ -139,6 +214,8 @@ def run_soak(bundle_path, seconds=60.0, clients=8, batch_window_ms=None,
         "seconds": round(wall, 1),
         "wire": wire,
         "batch_window_ms": batch_window_ms,
+        "adaptive_window": adaptive_window,
+        "call_timeout_s": call_timeout_s,
         "requests_ok": n_ok,
         "requests_per_sec": round(n_ok / wall, 1),
         "errors": errors,
@@ -149,8 +226,23 @@ def run_soak(bundle_path, seconds=60.0, clients=8, batch_window_ms=None,
         report["micro_batching"] = {
             name: {"requests": mb.n_requests, "calls": mb.n_calls}
             for name, mb in httpd.batchers.items()}
+    if inject_faults:
+        ledger = httpd.ledger.snapshot()
+        faults["watchdog_503"] = sum(
+            1 for e in ledger["recent"] if e["kind"] == "call_timeout")
+        report["faults"] = faults
+        report["ledger"] = {"count": ledger["count"], "kinds": sorted(
+            {e["kind"] for e in ledger["recent"]})}
     httpd.shutdown()
     httpd.server_close()
+    # a moment for handler threads to notice their closed sockets; anything
+    # still alive after it is a leak
+    if inject_faults:
+        deadline = time.monotonic() + 10.0
+        while (threading.active_count() > threads_before
+               and time.monotonic() < deadline):
+            time.sleep(0.1)
+        report["threads_leaked"] = threading.active_count() - threads_before
     return report
 
 
@@ -162,6 +254,15 @@ def main(argv=None):
     ap.add_argument("--seconds", type=float, default=60.0)
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--batch-window-ms", type=float, default=None)
+    ap.add_argument("--adaptive-window", action="store_true",
+                    help="micro-batch window opens only under same-endpoint "
+                         "concurrency (serving_http.MicroBatcher adaptive)")
+    ap.add_argument("--call-timeout-s", type=float, default=None,
+                    help="watchdog: artifact calls running past this 503")
+    ap.add_argument("--inject-faults", action="store_true",
+                    help="add hostile clients (oversize body, stalled "
+                         "sender) and a periodic device stall; report 413/"
+                         "503 handling, the error ledger, and thread leaks")
     ap.add_argument("--wire", default="npz", choices=["npz", "json"])
     ap.add_argument("--out", default=None,
                     help="also append the JSON report to this file")
@@ -185,7 +286,10 @@ def main(argv=None):
                           platforms=(platform,))
     report = run_soak(args.bundle, seconds=args.seconds,
                       clients=args.clients,
-                      batch_window_ms=args.batch_window_ms, wire=args.wire)
+                      batch_window_ms=args.batch_window_ms, wire=args.wire,
+                      adaptive_window=args.adaptive_window,
+                      call_timeout_s=args.call_timeout_s,
+                      inject_faults=args.inject_faults)
     line = json.dumps(report)
     print(line)
     if args.out:

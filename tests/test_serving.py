@@ -725,3 +725,299 @@ def test_soak_harness_micro_run(bundle):
     done = [e for e in rep["endpoints"].values() if e["n"]]
     assert done and all(e["p50_ms"] > 0 for e in done)
     assert "micro_batching" in rep  # window was on -> counters reported
+
+
+# ---------------------------------------------------------------------------
+# frontend hardening: body caps, stalled clients, the call watchdog
+# (serving_http.DeviceExecutor / ErrorLedger), adaptive windows
+# ---------------------------------------------------------------------------
+
+def test_device_executor_watchdog_and_ledger():
+    """A thunk that outlives its timeout raises TimeoutError in the caller
+    (the 503 path) and lands in the ledger twice: once when the watchdog
+    fires, once when the abandoned call eventually completes.  Cold names
+    get cold_timeout_s; warm names the caller's timeout."""
+    import time
+
+    from dxvae_tpu.serving_http import DeviceExecutor, ErrorLedger
+
+    ledger = ErrorLedger()
+    ex = DeviceExecutor(ledger, cold_timeout_s=0.2)
+    try:
+        assert ex.call("ok", lambda: 41 + 1, timeout_s=5.0) == 42
+        t0 = time.perf_counter()
+        with pytest.raises(TimeoutError, match="still running"):
+            ex.call("slow", lambda: time.sleep(0.5) or "late",
+                    timeout_s=0.02)  # cold -> escalated to 0.2
+        assert 0.15 <= time.perf_counter() - t0 < 0.45
+        time.sleep(0.7)  # let the abandoned call finish on the worker
+        snap = ledger.snapshot()
+        kinds = [e["kind"] for e in snap["recent"]]
+        assert "call_timeout" in kinds and "late_completion" in kinds
+        # errors propagate as themselves, not timeouts
+        def boom():
+            raise RuntimeError("device exploded")
+        with pytest.raises(RuntimeError, match="exploded"):
+            ex.call("boom", boom, timeout_s=5.0)
+        # "slow" completed once (late), so it is warm: tight timeout applies
+        t0 = time.perf_counter()
+        with pytest.raises(TimeoutError):
+            ex.call("slow", lambda: time.sleep(0.5), timeout_s=0.02)
+        assert time.perf_counter() - t0 < 0.15
+        time.sleep(0.7)
+    finally:
+        ex.shutdown()
+
+
+def test_micro_batcher_splits_merges_along_bucket_boundaries():
+    """A merged batch is split to minimize dispatched bucket rows plus a
+    fixed per-call overhead (MicroBatcher.OVERHEAD_ROWS) over the exported
+    bucket table: 9 singles over (1,8,32) -> 8+1, not one 32-padded call;
+    8 singles stay ONE call; a few singles prefer one half-empty bucket-8
+    call over per-request dispatches; and a request beyond the largest
+    bucket is isolated so only its sender sees the overflow error."""
+    import threading
+
+    from dxvae_tpu.serving_http import MicroBatcher
+
+    mb = MicroBatcher(lambda x: x, lambda out, a, b: out[a:b],
+                      threading.Lock(), buckets=(1, 8, 32))
+
+    def sizes(ns):
+        chunks = mb._chunks([{"n": n} for n in ns])
+        return [sum(it["n"] for it in c) for c in chunks]
+
+    assert sizes([1] * 9) == [8, 1]        # 9 padded rows, not 32
+    assert sizes([1] * 8) == [8]           # tie on rows -> one call
+    assert sizes([5, 9]) == [14]           # 32 padded rows < 8+32 split
+    assert sizes([1] * 3) == [3]           # 8-bucket, one call
+    assert sizes([40]) == [40]             # oversize isolated (errors alone)
+    assert sizes([40, 1]) == [40, 1]
+    assert sizes([8, 8, 8, 8]) == [32]     # exact large bucket, one call
+    assert sizes([8, 8, 8, 8, 1]) == [32, 1]
+
+
+def test_micro_batcher_adaptive_window():
+    """adaptive=True: a lone request pays ~none of the window (the endpoint
+    is cold); once the endpoint is hot, concurrent requests still merge."""
+    import threading
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
+    from dxvae_tpu.serving_http import MicroBatcher
+
+    mb = MicroBatcher(lambda x: x * 2.0, lambda out, a, b: out[a:b],
+                      threading.Lock(), window_s=0.5, adaptive=True)
+    x = np.ones((1, 2), np.float32)
+    t0 = time.perf_counter()
+    np.testing.assert_array_equal(mb.submit(x), x * 2.0)
+    assert time.perf_counter() - t0 < 0.25, \
+        "cold adaptive window must not sleep out the full window"
+    assert mb.stats()["adaptive"] is True
+
+    # heat the endpoint: now a leader waits, and concurrent submits merge
+    mb._hot_until = time.monotonic() + 30.0
+    before = mb.n_calls
+    barrier = threading.Barrier(2)
+
+    def client(i):
+        barrier.wait()
+        return mb.submit(np.full((1, 2), float(i), np.float32))
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        outs = list(ex.map(client, range(2)))
+    for i, out in enumerate(outs):
+        np.testing.assert_array_equal(out, np.full((1, 2), 2.0 * i))
+    assert mb.n_calls - before == 1, "hot window stopped merging"
+    assert mb.stats()["window_hot"] is True
+
+
+def test_http_oversize_body_is_413(bundle):
+    """A request claiming a body over max_body_mb is refused (413) BEFORE
+    the body is read, lands in the healthz error ledger, and the server
+    keeps serving."""
+    import http.client
+    import json
+    import threading
+
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, _ = bundle
+    httpd = make_server(path, max_body_mb=0.001)  # ~1 KB cap
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.putrequest("POST", "/v1/decode")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 30))  # 1 GB claim
+        conn.endheaders()
+        r = conn.getresponse()
+        body = json.loads(r.read())
+        assert r.status == 413 and "exceeds" in body["error"]
+        conn.close()
+
+        # the server is still healthy and records the event
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request("GET", "/healthz")
+        h = json.loads(conn.getresponse().read())
+        conn.close()
+        assert h["ok"] and h["errors"]["count"] >= 1
+        assert any(e["kind"] == "oversize_body" for e in h["errors"]["recent"])
+
+        # a small request still works
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/v1/decode",
+                     json.dumps({"z": np.zeros((1, 16)).tolist()}),
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_stalled_client_frees_its_thread(bundle):
+    """A client that sends headers then goes silent mid-body is dropped by
+    the read timeout (freeing the handler thread) instead of pinning it
+    forever; normal clients are unaffected and the stall is ledgered."""
+    import http.client
+    import json
+    import socket
+    import threading
+    import time
+
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, _ = bundle
+    httpd = make_server(path, read_timeout_s=0.5)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+        # raw socket: claim a 1000-byte body, send 8 bytes, stall
+        s = socket.create_connection((host, port), timeout=30)
+        s.sendall(b"POST /v1/decode HTTP/1.1\r\n"
+                  b"Host: x\r\nContent-Type: application/json\r\n"
+                  b"Content-Length: 1000\r\n\r\n" + b'{"z": [[')
+        t0 = time.perf_counter()
+        got = s.recv(4096)  # server must hang up on us, promptly
+        assert time.perf_counter() - t0 < 5.0
+        assert got == b"" or b"HTTP/1.1" in got
+        s.close()
+
+        # normal request still served; the stall shows on the ledger
+        conn = http.client.HTTPConnection(host, port, timeout=600)
+        conn.request("POST", "/v1/decode",
+                     json.dumps({"z": np.zeros((1, 16)).tolist()}),
+                     {"Content-Type": "application/json"})
+        assert conn.getresponse().status == 200
+        conn.close()
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request("GET", "/healthz")
+        h = json.loads(conn.getresponse().read())
+        conn.close()
+        assert any(e["kind"] == "client_stall" for e in h["errors"]["recent"])
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_http_call_watchdog_503(bundle):
+    """An artifact call that hangs past call_timeout_s turns into a 503 for
+    its client plus an error-ledger entry — instead of a silently pinned
+    handler (the r3 soak saw 16 s device stalls reach clients raw)."""
+    import http.client
+    import json
+    import threading
+    import time
+
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, _ = bundle
+    httpd = make_server(path, call_timeout_s=0.3)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        host, port = httpd.server_address[:2]
+
+        def decode():
+            conn = http.client.HTTPConnection(host, port, timeout=600)
+            try:
+                conn.request("POST", "/v1/decode",
+                             json.dumps({"z": np.zeros((1, 16)).tolist()}),
+                             {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                return r.status, json.loads(r.read())
+            finally:
+                conn.close()
+
+        st, _ = decode()   # warms the "decode" name on the executor
+        assert st == 200
+
+        real = httpd.model.decode
+        httpd.model.decode = lambda z: (time.sleep(1.5), real(z))[1]
+        st, body = decode()
+        assert st == 503 and "still running" in body["error"]
+        httpd.model.decode = real
+
+        conn = http.client.HTTPConnection(host, port, timeout=60)
+        conn.request("GET", "/healthz")
+        h = json.loads(conn.getresponse().read())
+        conn.close()
+        assert any(e["kind"] == "call_timeout" for e in h["errors"]["recent"])
+        time.sleep(1.5)  # the abandoned call drains off the device thread
+        st, _ = decode()  # and the server recovers
+        assert st == 200
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_make_server_warmup_precompiles_buckets(bundle):
+    """warmup=True pre-executes every exported function at every bucket, so
+    the executor is warm (tight watchdog timeouts apply immediately) and
+    micro-batch followers skip the cold-bucket grace."""
+    from dxvae_tpu.serving_http import make_server
+
+    _, path, manifest = bundle
+    httpd = make_server(path, batch_window_ms=5.0, warmup=True)
+    try:
+        want = {f"warmup:{name}/{b}"
+                for name, bs in manifest["functions"].items() for b in bs}
+        assert want <= httpd.exec._warm_names
+        assert all(mb._warm for mb in httpd.batchers.values())
+    finally:
+        httpd.server_close()
+
+
+def test_serve_cli_rejects_http_only_flags(bundle):
+    """--warmup/--call-timeout-s/--adaptive-window are HTTP-server knobs;
+    one-shot mode rejects them, and --adaptive-window needs a window."""
+    from dxvae_tpu.cli import main
+
+    _, path, _ = bundle
+    with pytest.raises(SystemExit, match="--warmup"):
+        main(["serve", "--bundle", str(path), "--op", "generate", "--warmup"])
+    with pytest.raises(SystemExit, match="--call-timeout-s"):
+        main(["serve", "--bundle", str(path), "--call-timeout-s", "5"])
+    with pytest.raises(SystemExit, match="needs --batch-window-ms"):
+        main(["serve", "--bundle", str(path), "--http", ":0",
+              "--adaptive-window"])
+
+
+def test_soak_harness_fault_injection_micro(bundle):
+    """scripts/soak_serving.py --inject-faults at micro scale: oversize
+    bodies 413, stalled senders are dropped by the read timeout, the device
+    stall trips the watchdog 503 path, and no handler threads leak."""
+    from scripts._lib import load_sibling
+
+    _, path, _ = bundle
+    soak = load_sibling("soak_serving")
+    rep = soak.run_soak(path, seconds=4.0, clients=3, wire="npz",
+                        batch_window_ms=20.0, call_timeout_s=0.5,
+                        inject_faults=True)
+    assert rep["requests_ok"] >= 1          # real traffic kept flowing
+    f = rep["faults"]
+    assert f["oversize_413"] >= 1 and f["oversize_other"] == 0
+    assert f["stall_dropped"] >= 1 and f["stall_other"] == 0
+    assert rep["ledger"]["count"] >= 2
+    assert rep["threads_leaked"] <= 1
