@@ -223,7 +223,9 @@ class DXVAE:
         mu, std = self._encode_jit(self.params, X, adj)
         return Normal(mu, std, key_stream=self._next_key)
 
-    def decode(self, z, project_topology: bool = False, alg=None) -> GraphBatch:
+    def decode(self, z, project_topology: bool = False, alg=None,
+               topology: str | None = None,
+               alg_temperature: float = 1.0) -> GraphBatch:
         """Latents -> generated graphs (model.py:214-253). Deterministic given z.
 
         ``project_topology=True`` (beyond-reference) snaps each generated
@@ -238,8 +240,32 @@ class DXVAE:
         ``ALGO_ADJ[alg]`` while node features stay autoregressive, so the
         sampled operators are conditioned on the forced routing (unlike
         post-hoc projection).  The alg param is set to match.  Mutually
-        exclusive with ``project_topology`` (the result is already valid)."""
+        exclusive with ``project_topology`` (the result is already valid).
+
+        ``topology='sampled'`` (beyond-reference, self-conditioned): sample
+        each patch's algorithm from the decoder's OWN 32-wide algorithm head
+        ``alg ~ Categorical(softmax(logits(z) / alg_temperature))``, then
+        forced-adj decode that routing — valid topology by construction
+        (like ``alg=``) but the routing is the one the model itself believes
+        in for that z (unlike an arbitrary uniform ``alg=k``), and the
+        stochastic draw keeps the diversity post-hoc projection collapses
+        (argmax projection: 267 -> 27 unique patches, docs/PERF.md
+        "Constrained generation").  ``alg_temperature`` sharpens (<1) or
+        flattens (>1) the head's distribution; it consumes one key from the
+        model's stream.  Mutually exclusive with ``project_topology``/
+        ``alg``."""
         z = jnp.asarray(z, jnp.float32)
+        if topology is not None:
+            if topology != "sampled":
+                raise ValueError(f"unknown topology mode {topology!r}: only "
+                                 "'sampled' (or use project_topology=/alg=)")
+            if project_topology or alg is not None:
+                raise ValueError("topology='sampled' draws the routing from "
+                                 "the decoder's own head; it is mutually "
+                                 "exclusive with project_topology/alg")
+            logits = self._alg_logits_jit(self.params, z).astype(jnp.float32)
+            alg = np.asarray(jax.random.categorical(
+                self._next_key(), logits / float(alg_temperature), axis=-1))
         if alg is not None:
             if project_topology:
                 raise ValueError(
@@ -275,10 +301,14 @@ class DXVAE:
 
     def generate(self, n: int, project_topology: bool = False, alg=None,
                  prior: str = "standard", temperature: float = 1.0,
-                 valid_only: bool = False, max_rounds: int = 64) -> GraphBatch:
+                 valid_only: bool = False, max_rounds: int = 64,
+                 topology: str | None = None,
+                 alg_temperature: float = 1.0) -> GraphBatch:
         """Sample z from the prior and decode (model.py:264-268); see
-        :meth:`decode` for ``project_topology`` and algorithm-conditional
-        ``alg``.
+        :meth:`decode` for ``project_topology``, algorithm-conditional
+        ``alg``, and self-conditioned ``topology='sampled'`` (which composes
+        with either prior: z is drawn first, then the routing is sampled
+        from the decoder's own algorithm head at that z).
 
         ``prior="standard"`` draws z ~ N(0, I) (reference parity);
         ``prior="fitted"`` draws from the ex-post GMM fitted to the aggregate
@@ -303,11 +333,11 @@ class DXVAE:
         validity rate, use ``prior='fitted'``/lower ``temperature`` (measured
         ~25-46% valid on trained flagships) or fall back to projection."""
         if valid_only:
-            if project_topology or alg is not None:
+            if project_topology or alg is not None or topology is not None:
                 raise ValueError(
                     "valid_only rejection-samples already-valid decodes; it "
-                    "is mutually exclusive with project_topology/alg (which "
-                    "force validity by construction)")
+                    "is mutually exclusive with project_topology/alg/"
+                    "topology (which force validity by construction)")
             from dxvae_tpu.data.algorithms import rejection_sample_valid
 
             m = max(int(n), 64)  # fixed round size -> one compiled decode
@@ -330,7 +360,8 @@ class DXVAE:
                 self._next_key(), (n, self.cfg.size_z), jnp.float32)
         else:
             raise ValueError(f"unknown prior {prior!r}: 'standard' or 'fitted'")
-        return self.decode(z, project_topology=project_topology, alg=alg)
+        return self.decode(z, project_topology=project_topology, alg=alg,
+                           topology=topology, alg_temperature=alg_temperature)
 
     # -- ex-post fitted prior (beyond-reference; docs/PERF.md) -----------------
     def fit_prior(self, G: GraphBatch, n_components: int = 32,
@@ -423,6 +454,11 @@ class DXVAE:
         weights for sharp reconstruction (docs/PERF.md "Validation-split
         checkpoint selection").  The caller owns the split (the CLI's
         ``--val-banks`` carves interleaved banks out before augmentation).
+        The ``val_every`` cadence is PER CALL: epoch 0 of every ``train()``
+        call is always scored (a resumed run re-logs its starting val loss,
+        which is the sane baseline for the new curve) and the cadence
+        restarts from there rather than continuing the prior call's
+        ``_trained_steps`` phase.
         """
         X_all = np.asarray(G_true.X, np.float32)
         P_all = np.asarray(G_true.params, np.int32)

@@ -75,7 +75,8 @@ def decode_test(G_en, chk, stochastic=False, printout=True, seed=0):
 
 def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
                   alg=None, fit_from=None, n_components=32, prior_path=None,
-                  save_prior_path=None, temperature=1.0, valid_only=False):
+                  save_prior_path=None, temperature=1.0, valid_only=False,
+                  topology=None, alg_temperature=1.0):
     model = _model_for(chk, seed)
     if prior_path is not None:
         model.load_prior(prior_path)
@@ -87,7 +88,8 @@ def generate_test(n=1, chk=None, printout=True, seed=0, project_topology=False,
     fitted = prior_path is not None or fit_from is not None
     G_gen = model.generate(n, project_topology=project_topology, alg=alg,
                            prior="fitted" if fitted else "standard",
-                           temperature=temperature, valid_only=valid_only)
+                           temperature=temperature, valid_only=valid_only,
+                           topology=topology, alg_temperature=alg_temperature)
     if printout:
         print("[ Generate ]")
         print_data(G_gen)
@@ -320,6 +322,16 @@ def build_parser() -> argparse.ArgumentParser:
                          "valid DX7 algorithm — nothing overwritten (vs "
                          "--project-topology, which snaps it); best combined "
                          "with --prior/--fitted-prior [--temperature 0.5]")
+    sp.add_argument("--sampled-topology", action="store_true",
+                    help="self-conditioned routing: sample each patch's "
+                         "algorithm from the decoder's OWN head at its z, "
+                         "then teacher-force that routing — valid topology "
+                         "by construction, model-consistent (unlike --alg) "
+                         "and diverse (unlike --project-topology)")
+    sp.add_argument("--alg-temperature", type=float, default=1.0, metavar="T",
+                    help="softmax temperature of the algorithm head for "
+                         "--sampled-topology (T<1 sharpens toward the head's "
+                         "argmax)")
     sp.add_argument("--quiet", action="store_true")
     sp = sub.add_parser("interpolate",
                         help="decode the latent segment between two dataset "
@@ -420,6 +432,21 @@ def build_parser() -> argparse.ArgumentParser:
                          "arriving within MS of each other merge into one "
                          "artifact call (serving_http.MicroBatcher); a lone "
                          "request pays MS extra latency")
+    sp.add_argument("--adaptive-window", action="store_true",
+                    help="open the micro-batch window only while the "
+                         "endpoint sees same-endpoint concurrency, so lone/"
+                         "mixed traffic stops paying --batch-window-ms "
+                         "(requires --batch-window-ms)")
+    sp.add_argument("--call-timeout-s", type=float, default=None, metavar="S",
+                    help="watchdog for HTTP-mode artifact calls: a device "
+                         "call still running after S seconds 503s its "
+                         "client and lands in the /healthz error ledger "
+                         "(first call per function/bucket is allowed longer "
+                         "— it compiles; see --warmup)")
+    sp.add_argument("--warmup", action="store_true",
+                    help="pre-compile every exported function/bucket before "
+                         "accepting HTTP traffic (first calls otherwise "
+                         "take minutes on cold caches)")
     sp.add_argument("--raw-dir", default=None,
                     help=f"dataset for --op roundtrip (default: {dflt.raw_dir})")
     sp.add_argument("--synprez-only", action="store_true")
@@ -585,7 +612,10 @@ def main(argv=None) -> int:
                               prior_path=args.prior,
                               save_prior_path=args.save_prior,
                               temperature=args.temperature,
-                              valid_only=args.valid_only)
+                              valid_only=args.valid_only,
+                              topology=("sampled" if args.sampled_topology
+                                        else None),
+                              alg_temperature=args.alg_temperature)
         if args.out:
             # bank_bytes pads --n < 32 by repeating the last patch (the same
             # convention as serve --out); at exactly 32 the bytes are
@@ -652,9 +682,18 @@ def main(argv=None) -> int:
         print(f"wrote {args.out}: functions {sorted(man['functions'])} at "
               f"buckets {args.batch_sizes} for {man['platforms']}")
     elif args.cmd == "serve":
-        if args.batch_window_ms is not None and args.http is None:
-            raise SystemExit("--batch-window-ms only applies to --http mode "
-                             "(one-shot ops have nothing to merge)")
+        http_only = {"--batch-window-ms": args.batch_window_ms is not None,
+                     "--adaptive-window": args.adaptive_window,
+                     "--call-timeout-s": args.call_timeout_s is not None,
+                     "--warmup": args.warmup}
+        bad = [f for f, on in http_only.items() if on]
+        if bad and args.http is None:
+            raise SystemExit(f"{', '.join(bad)} only appl"
+                             f"{'y' if len(bad) > 1 else 'ies'} to --http "
+                             "mode (one-shot ops have no server to tune)")
+        if args.adaptive_window and args.batch_window_ms is None:
+            raise SystemExit("--adaptive-window needs --batch-window-ms "
+                             "(there is no window to adapt)")
         if args.http is not None:
             from dxvae_tpu.serving_http import serve_forever
 
@@ -665,7 +704,10 @@ def main(argv=None) -> int:
                     f"':8000' or '0.0.0.0:8000'), got {args.http!r}")
             serve_forever(args.bundle, host or "127.0.0.1", int(port),
                           index_path=args.search_index,
-                          batch_window_ms=args.batch_window_ms)
+                          batch_window_ms=args.batch_window_ms,
+                          adaptive_window=args.adaptive_window,
+                          call_timeout_s=args.call_timeout_s,
+                          warmup=args.warmup)
             return 0
         from dxvae_tpu.serving import ServedDXVAE, bank_bytes
 

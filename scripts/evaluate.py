@@ -164,6 +164,11 @@ def main():
     # conditional arm: same z, topology teacher-forced to alg i%32 — 16
     # samples per algorithm, coverage 32/32 by construction
     gen_cond = model.decode(z, alg=np.arange(len(z)) % 32)
+    # self-conditioned arm: same z, routing SAMPLED from the decoder's own
+    # algorithm head at that z, then teacher-forced (the fourth mode — valid
+    # by construction like alg=, model-consistent unlike uniform alg=k,
+    # diverse unlike argmax projection)
+    gen_sampled = model.decode(z, topology="sampled")
     # ex-post fitted prior arm: z from a GMM fitted to the aggregate
     # posterior of the training set instead of N(0,I) (docs/PERF.md)
     model.fit_prior(train.batch)
@@ -172,24 +177,33 @@ def main():
     # "Sampling temperature" — low T concentrates within components, so
     # validity rises while mixture coverage is untouched)
     gen_fit_t = model.generate(len(z), prior="fitted", temperature=0.5)
+    # composed: fitted prior z (T=0.5) + self-conditioned routing
+    gen_fit_sampled = model.generate(len(z), prior="fitted", temperature=0.5,
+                                     topology="sampled")
     report["generation"] = _generation_metrics(gen)
     report["generation_projected"] = _generation_metrics(gen_proj)
     report["generation_conditional"] = _generation_metrics(gen_cond)
+    report["generation_sampled_topology"] = _generation_metrics(gen_sampled)
     report["generation_fitted_prior"] = _generation_metrics(gen_fit)
     report["generation_fitted_prior_t05"] = _generation_metrics(gen_fit_t)
+    report["generation_fitted_t05_sampled"] = _generation_metrics(gen_fit_sampled)
     # novelty guard for the fitted prior (it samples near training latents by
     # construction): exact-copy rate and nearest-neighbour param distance vs
     # the training set, reported for the free arm as the baseline
     for section, G in (("generation", gen), ("generation_fitted_prior", gen_fit),
-                       ("generation_fitted_prior_t05", gen_fit_t)):
+                       ("generation_fitted_prior_t05", gen_fit_t),
+                       ("generation_sampled_topology", gen_sampled),
+                       ("generation_fitted_t05_sampled", gen_fit_sampled)):
         report[section].update(_novelty(G.params, np.asarray(train.batch.params)))
     # self-consistency: re-encode each arm's samples and decode the posterior
     # mean — how much of the sample's topology/params does the model itself
     # recognize and retain?  (on-manifold-ness of the generation modes)
     for section, G in (("generation", gen), ("generation_projected", gen_proj),
                        ("generation_conditional", gen_cond),
+                       ("generation_sampled_topology", gen_sampled),
                        ("generation_fitted_prior", gen_fit),
-                       ("generation_fitted_prior_t05", gen_fit_t)):
+                       ("generation_fitted_prior_t05", gen_fit_t),
+                       ("generation_fitted_t05_sampled", gen_fit_sampled)):
         R = model.encode_decode(G)
         report[section]["roundtrip_topology_retained"] = float(
             (G.adj == R.adj).all(axis=(1, 2)).mean())

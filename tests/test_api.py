@@ -443,7 +443,8 @@ def test_generate_valid_only(model, monkeypatch):
     rate is ~0); trained-model rates are measured in docs/PERF.md."""
     from dxvae_tpu.data.algorithms import ALGO_ADJ
 
-    def fake_decode(z, project_topology=False, alg=None):
+    def fake_decode(z, project_topology=False, alg=None, topology=None,
+                    alg_temperature=1.0):
         B = len(np.asarray(z))
         adj = np.ones((B, 7, 7), np.float32)  # invalid (no complete routing)
         adj[0::2] = ALGO_ADJ[np.arange(B // 2 + 1) % 32][: len(adj[0::2])]
@@ -493,6 +494,42 @@ def test_generate_alg_conditional(model):
         model.generate(2, alg=1, project_topology=True)
     with pytest.raises(ValueError, match="0..31"):
         model.generate(2, alg=32)
+
+
+def test_generate_sampled_topology(model):
+    """Self-conditioned generation (VERDICT r3 #2): topology='sampled' draws
+    each patch's routing from the decoder's OWN algorithm head at its z,
+    then teacher-forces it — every sample's adjacency IS a valid ALGO_ADJ
+    row with the alg byte synced; alg_temperature -> 0 recovers the head's
+    argmax; conflicting argument combinations raise."""
+    from dxvae_tpu.data.algorithms import ALGO_ADJ
+
+    G = model.generate(16, topology="sampled")
+    algs = G.params[:, 0, 18]
+    assert algs.min() >= 0 and algs.max() <= 31
+    np.testing.assert_array_equal(G.adj, ALGO_ADJ[algs].astype(G.adj.dtype))
+
+    # near-zero temperature concentrates the categorical on the head's
+    # argmax: decode(z, 'sampled', T->0) must force exactly that routing
+    import jax
+
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(3), (8, model.cfg.size_z)))
+    want = np.asarray(model._alg_logits_jit(model.params, z)).argmax(-1)
+    Gt = model.decode(z, topology="sampled", alg_temperature=1e-6)
+    np.testing.assert_array_equal(Gt.params[:, 0, 18], want)
+    np.testing.assert_array_equal(Gt.adj, ALGO_ADJ[want].astype(Gt.adj.dtype))
+    # and the features are exactly the alg= teacher-forced decode's (the
+    # sampled mode IS forced-adj decode once the routing is drawn)
+    np.testing.assert_array_equal(Gt.X, model.decode(z, alg=want).X)
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        model.decode(z, topology="sampled", project_topology=True)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        model.decode(z, topology="sampled", alg=3)
+    with pytest.raises(ValueError, match="unknown topology"):
+        model.decode(z, topology="argmax")
+    with pytest.raises(ValueError, match="valid_only"):
+        model.generate(2, valid_only=True, topology="sampled")
 
 
 def test_api_default_is_peak_path(model):
