@@ -73,6 +73,11 @@ def main(argv=None):
     ap.add_argument("--fold-start", type=int, default=0,
                     help="first fold to run (resume an interrupted sweep; "
                          "pooling needs all folds present in --out)")
+    ap.add_argument("--fold-end", type=int, default=None,
+                    help="run folds [fold-start, fold-end) only: a screening "
+                         "subset for recipe-lever A/Bs (pooled row reports "
+                         "complete=false; compare against the SAME folds of "
+                         "the baseline ledger, never the full-pool number)")
     ap.add_argument("--no-unroll", action="store_true",
                     help="batched-cadence path (fast compile; CPU dev runs)")
     ap.add_argument("--raw-dir", default=None)
@@ -117,7 +122,9 @@ def main(argv=None):
                 exist_ok=True)
 
     rows = []
-    for f in range(args.fold_start, args.folds):
+    fold_end = args.folds if args.fold_end is None else min(args.fold_end,
+                                                            args.folds)
+    for f in range(args.fold_start, fold_end):
         held_mask = np.isin(bank_of, folds[f])
         tr, held = G[~held_mask], G[held_mask]
         iters = len(tr) // args.batch

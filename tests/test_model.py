@@ -81,27 +81,41 @@ def test_loss_parity(params, oracle, real_batch):
         np.testing.assert_allclose(float(a), float(b), rtol=2e-3, atol=1e-4)
 
 
-def test_decode_parity(params, oracle):
-    """f32 decode parity vs the oracle.  Thresholded/argmax decisions can
-    legitimately flip when two logits sit within f32 library noise (~1e-4) of
-    each other, so a tiny number of tie-break mismatches is allowed here; the
-    float64 subprocess test below asserts *exact* decode parity."""
-    z = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (6, CFG.size_z)))
-    Xj, Pj, Aj = jax.jit(lambda p, zz: decode(p, zz, CFG))(params, jnp.asarray(z))
-    Xo, Po, Ao = oracle.decode(z)  # one oracle pass serves all asserts
-    a_mismatch = int((np.asarray(Aj) != Ao).sum())
-    p_mismatch = int((np.abs(np.asarray(Pj) - Po) > 1e-5).sum())
-    # small budgets: a handful of tie-break flips is library noise; exceeding
-    # them means an early flip cascaded through the autoregressive feedback —
-    # investigate (the f64 test is the exact gate either way).
-    # TRACKING NOTE (round 2): budgets were loosened from adjacency==exact /
-    # params<=2 to adjacency<=2 / params<=8 when the batched-cadence default
-    # changed f32 summation order.  A real edge-head regression inside these
-    # budgets would only be caught by test_reference_exec's f64 gates — if
-    # either budget is hit again, tighten against the f64 path's z before
-    # loosening further.
-    assert a_mismatch <= 2, f"{a_mismatch} adjacency mismatches (expect <=2 tie flips)"
-    assert p_mismatch <= 8, f"{p_mismatch} param mismatches (expect few tie flips)"
+def test_decode_parity(params, oracle, real_batch):
+    """f32 decode parity vs the oracle, tightened per the round-2 tracking
+    note (VERDICT r3 #6a): at the f64-path z (posterior means of real data —
+    the same z test_reference_exec.py asserts EXACT f64 parity at) both
+    cadences must match the oracle exactly in f32 too (measured r4: zero
+    mismatches for unroll and batched alike).  Thresholded/argmax tie flips
+    from f32 summation-order noise are only tolerated at an arbitrary random
+    z, and only for the batched cadence (the order that diverges from the
+    oracle's sequential one); the unrolled cadence mirrors the oracle's
+    order and stays exact there as well."""
+    X, P, adj = real_batch
+    mu, _, _ = encode(params, X, adj, CFG)
+    z_mu = np.asarray(mu)
+    z_rand = np.asarray(jax.random.normal(jax.random.PRNGKey(7), (6, CFG.size_z)))
+    cfg_u, cfg_b = DXVAEConfig(unroll=True), DXVAEConfig(unroll=False)
+
+    def mismatches(z, cfg):
+        Xj, Pj, Aj = jax.jit(lambda p, zz: decode(p, zz, cfg))(params, jnp.asarray(z))
+        Xo, Po, Ao = oracle.decode(z)
+        return (int((np.asarray(Aj) != Ao).sum()),
+                int((np.abs(np.asarray(Pj) - Po) > 1e-5).sum()))
+
+    for cfg, name in ((cfg_u, "unroll"), (cfg_b, "batched")):
+        am, pm = mismatches(z_mu, cfg)
+        assert am == 0, f"{name} @ f64-path z: {am} adjacency mismatches (must be exact)"
+        assert pm == 0, f"{name} @ f64-path z: {pm} param mismatches (must be exact)"
+    am, pm = mismatches(z_rand, cfg_u)
+    assert am == 0, f"unroll @ random z: {am} adjacency mismatches (must be exact)"
+    assert pm == 0, f"unroll @ random z: {pm} param mismatches (must be exact)"
+    # batched cadence at random z: the ONE place summation-order tie flips are
+    # legitimate; exceeding the budget means an early flip cascaded through
+    # the autoregressive feedback — investigate (f64 test is the exact gate).
+    am, pm = mismatches(z_rand, cfg_b)
+    assert am <= 2, f"batched @ random z: {am} adjacency mismatches (expect <=2 tie flips)"
+    assert pm <= 8, f"batched @ random z: {pm} param mismatches (expect few tie flips)"
 
 
 def test_decode_deterministic(params):
