@@ -420,6 +420,7 @@ class DXVAE:
         size_batch: int = 32,
         lr: float = 0.001,
         checkpoint: str | None = None,
+        resume: str | None = None,
         w_env: float = 2.0,
         w_frq: float = 5.0,
         w_kld: float = 0.01,
@@ -459,6 +460,18 @@ class DXVAE:
         which is the sane baseline for the new curve) and the cadence
         restarts from there rather than continuing the prior call's
         ``_trained_steps`` phase.
+
+        ``resume`` (beyond-reference; the reference restarts AdamW moments
+        from its weights-only state_dict, model.py:388) restores params +
+        optimizer moments + step count from an atomic full-state ``train()``
+        checkpoint and CONTINUES the run exactly: the shuffle permutation
+        and per-step key streams are fast-forwarded to the checkpoint's
+        epoch, so a killed run resumed with the same arguments (same corpus,
+        ``epochs``, ``size_batch``, ``lr``, ``shuffle_seed``, model seed)
+        reproduces the uninterrupted run's remaining epochs bit-for-bit —
+        single- and multi-process alike (tests/test_distributed.py).  The
+        checkpoint must sit on an epoch boundary (``save_every`` writes are;
+        a mid-epoch kill resumes from the last completed epoch).
         """
         X_all = np.asarray(G_true.X, np.float32)
         P_all = np.asarray(G_true.params, np.int32)
@@ -521,6 +534,19 @@ class DXVAE:
             self._next_key(), optimizer, self.cfg,
             params=jax.tree.map(jnp.copy, self.params),
         )
+        start_epoch = 0
+        if resume is not None:
+            # restore the FULL TrainState (params, AdamW moments, step) into
+            # the freshly-built template; stream fast-forwarding happens
+            # below once the rng and total_epochs exist
+            state = load_checkpoint(resume, state)
+            step_done = int(state.step)
+            if step_done % n_iters:
+                raise ValueError(
+                    f"resume checkpoint step {step_done} is not an epoch "
+                    f"boundary for n_iters={n_iters} (was it written with "
+                    f"the same corpus and size_batch?)")
+            start_epoch = step_done // n_iters
         step_fn = make_train_step(optimizer, self.cfg, LossWeights(w_env, w_frq, w_kld))
         if val_split is not None:
             # val ELBO under the TRAINING weights (the objective being
@@ -573,7 +599,20 @@ class DXVAE:
         # fresh TrainState's step is always 0); a weights-only resume in a new
         # process restarts numbering, like the reference restarts AdamW moments
         step_base = self._trained_steps
-        for epoch in range(total_epochs):
+        if start_epoch:
+            if start_epoch >= total_epochs:
+                raise ValueError(
+                    f"resume checkpoint already covers {start_epoch} epochs; "
+                    f"this call trains {total_epochs} total — nothing to do")
+            # replay the completed epochs' randomness so the remaining ones
+            # see the exact streams the uninterrupted run would have: one
+            # permutation per epoch, one model key per step (the multiprocess
+            # branch stacks the same n_iters draws per epoch)
+            for _ in range(start_epoch):
+                rng.permutation(n_samples)
+            for _ in range(start_epoch * n_iters):
+                self._next_key()
+        for epoch in range(start_epoch, total_epochs):
             log.epoch(epoch)
             perm = rng.permutation(n_samples)
             if multiprocess:

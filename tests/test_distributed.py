@@ -125,3 +125,75 @@ def test_cli_coordinator_wiring(tmp_path):
     # the stdout contract is owned by rank 0 alone
     finished = ["Finished Training" in out for rc, out, err in outs]
     assert sum(finished) == 1, finished
+
+
+def _launch_pair(tmp_path, mode, n_model=1, timeout=780):
+    port = free_port()
+    workers = [
+        subprocess.Popen(
+            [sys.executable, str(REPO / "tests" / "dist_worker.py"),
+             f"127.0.0.1:{port}", "2", str(pid), str(tmp_path), RAW,
+             str(n_model), mode],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=str(REPO),
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    try:
+        for w in workers:
+            out, err = w.communicate(timeout=timeout)
+            outs.append((w.returncode, out, err))
+    finally:
+        for w in workers:
+            if w.poll() is None:
+                w.kill()
+    return outs
+
+
+def test_two_process_kill_and_resume_matches_uninterrupted(tmp_path):
+    """Multi-host failure recovery end to end (VERDICT r3 #5): a 2-process
+    data x model (4x2 mesh) training run is SIGKILLed mid-epoch by a watcher
+    thread the moment its first per-epoch checkpoint publishes; a fresh
+    2-process run resumes via train(resume=) from that atomic full-state
+    checkpoint and must land on the SAME final weights as an uninterrupted
+    run — the resume fast-forwards the shuffle and key streams, so the
+    remaining epochs replay identically."""
+    for rc, out, err in _launch_pair(tmp_path, "full", n_model=2):
+        assert rc == 0, (out[-2000:], err[-4000:])
+    full = tmp_path / "full.npz"
+    assert full.exists()
+
+    outs = _launch_pair(tmp_path, "killrun", n_model=2)
+    for rc, out, err in outs:
+        assert rc != 0, "worker survived the kill — watcher never fired"
+        assert "SURVIVED" not in out
+    ck = tmp_path / "dist.npz"
+    assert ck.exists(), "no checkpoint published before the kill"
+    step = int(np.load(ck)["t/step"])
+    n_iters = 64 // 32
+    assert 0 < step < 6 * n_iters, (
+        f"kill landed outside the run (step={step}); watcher timing bug")
+
+    for rc, out, err in _launch_pair(tmp_path, "resume", n_model=2):
+        assert rc == 0, (out[-2000:], err[-4000:])
+    resumed = tmp_path / "resumed.npz"
+    assert resumed.exists()
+
+    a, b = np.load(full), np.load(resumed)
+    keys = [k for k in a.files if k.startswith("t/params")]
+    assert keys and set(a.files) == set(b.files)
+    for k in keys:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_two_process_divergence_abort(tmp_path):
+    """Divergence snapshot, multi-process (VERDICT r3 #5 second half): NaN
+    input -> non-finite (replicated) loss on every rank; every rank must
+    raise FloatingPointError — no collective deadlock — and the primary must
+    publish the diverged-state snapshot via the gather-before-raise path."""
+    outs = _launch_pair(tmp_path, "diverge", n_model=1)
+    for rc, out, err in outs:
+        assert rc == 0, (out[-2000:], err[-4000:])
+        assert "DIVERGED_OK" in out
+    assert list(tmp_path.glob("dist.npz.diverged_epoch*.npz"))

@@ -367,3 +367,48 @@ def test_train_val_split_selection(dataset, tmp_path, capsys):
                      val_every=0)
     with pytest.raises(ValueError, match="empty"):
         model2.train(train, epochs=1, size_batch=48, val_split=val[:0])
+
+
+def test_train_resume_full_state_matches_uninterrupted(dataset, tmp_path):
+    """Full-state resume (VERDICT r3 #5, single-process leg): a run killed at
+    an epoch boundary and resumed via train(resume=) in a FRESH process-like
+    model (fresh key stream, same seed/args) must reproduce the uninterrupted
+    run's remaining epochs bit-for-bit — params, AdamW moments and shuffle/key
+    streams all realign.  The 2-process pod-shape leg lives in
+    test_distributed.py."""
+    from dxvae_tpu.api import DXVAE
+
+    G = dataset[:64]
+    kw = dict(size_batch=32, lr=1e-3, extra_epoch=False, shuffle_seed=7,
+              n_data=1)
+
+    full = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+    full.train(G, epochs=3, **kw)
+
+    # "killed" run: one epoch, checkpoint published at the epoch boundary
+    ck = tmp_path / "boundary.npz"
+    interrupted = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+    interrupted.train(G, epochs=1, checkpoint=str(ck), **kw)
+
+    resumed = DXVAE(size_H=32, size_Z=16, seed=3, unroll=False)
+    resumed.train(G, epochs=3, resume=str(ck), **kw)
+
+    a = jax.tree.leaves(jax.tree.map(np.asarray, full.params))
+    b = jax.tree.leaves(jax.tree.map(np.asarray, resumed.params))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+    # a mid-epoch checkpoint (wrong size_batch for this corpus) is rejected
+    import pytest
+
+    with pytest.raises(ValueError, match="epoch boundary"):
+        # ck holds step=2 (one 64-patch epoch at batch 32); a 96-patch corpus
+        # has n_iters=3, so 2 is mid-epoch there
+        DXVAE(size_H=32, size_Z=16, seed=3, unroll=False).train(
+            dataset[:96], epochs=3, resume=str(ck), size_batch=32, lr=1e-3,
+            extra_epoch=False, shuffle_seed=7, n_data=1)
+
+    # resuming past the requested horizon is rejected, not a silent no-op
+    with pytest.raises(ValueError, match="nothing to do"):
+        DXVAE(size_H=32, size_Z=16, seed=3, unroll=False).train(
+            G, epochs=1, resume=str(ck), **kw)
