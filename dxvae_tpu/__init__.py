@@ -23,7 +23,7 @@ Public API parity with the reference (model.py:11,200-391; dxdata.py:77,341;
 main.py:12-47) is provided by :mod:`dxvae_tpu.api`.
 """
 
-__version__ = "0.3.0"
+__version__ = "0.3.1"
 
 from dxvae_tpu.graph import GraphBatch
 

@@ -47,7 +47,7 @@ from dxvae_tpu.parallel.distributed import is_primary
 from dxvae_tpu.parallel.mesh import batch_sharding, make_mesh, param_shardings, replicated
 from dxvae_tpu.parallel.train import (TrainState, init_train_state,
                                       make_eval_step, make_optimizer,
-                                      make_train_step)
+                                      make_train_step, opt_state_shardings)
 from dxvae_tpu.utils.checkpoint import import_torch_state_dict, load_checkpoint, save_checkpoint
 from dxvae_tpu.utils.metrics import MetricsLogger
 
@@ -579,7 +579,15 @@ class DXVAE:
             # state was created replicated above)
             p_sh = param_shardings(mesh, state.params)
             params_sh = jax.device_put(state.params, p_sh)
-            state = state._replace(params=params_sh, opt_state=optimizer.init(params_sh))
+            if resume is not None:
+                # carry the RESTORED AdamW moments onto the TP shardings;
+                # optimizer.init here would zero them and reset the
+                # bias-correction count, silently diverging the resumed run
+                opt_sh = opt_state_shardings(state.opt_state, p_sh, replicated(mesh))
+                opt_state_sh = jax.device_put(state.opt_state, opt_sh)
+            else:
+                opt_state_sh = optimizer.init(params_sh)
+            state = state._replace(params=params_sh, opt_state=opt_state_sh)
         primary = is_primary()
         if multiprocess and n_model > 1:
             # tensor-parallel shards live on OTHER hosts' devices, which the

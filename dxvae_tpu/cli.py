@@ -52,13 +52,17 @@ def _model_for(chk, seed=0):
 
 def train_new(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
     model = DXVAE(seed=seed)
-    model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
+    # keywords, not positions: train()'s signature has optional params
+    # (resume=...) between `checkpoint` and the loss weights
+    model.train(G, epochs, size_batch, lr, checkpoint=chk,
+                w_env=w_env, w_frq=w_frq, w_kld=w_kld, **kw)
     return model
 
 
 def train_on(G, chk, epochs, size_batch, lr, w_env, w_frq, w_kld, seed=0, **kw):
     model = _model_for(chk, seed)
-    model.train(G, epochs, size_batch, lr, chk, w_env, w_frq, w_kld, **kw)
+    model.train(G, epochs, size_batch, lr, checkpoint=chk,
+                w_env=w_env, w_frq=w_frq, w_kld=w_kld, **kw)
     return model
 
 
@@ -235,6 +239,13 @@ def build_parser() -> argparse.ArgumentParser:
             sp.add_argument("--w-frq", type=float, default=None)
             sp.add_argument("--w-kld", type=float, default=None)
             sp.add_argument("--metrics-csv", default=None)
+            sp.add_argument("--resume", default=None, metavar="CKPT",
+                            help="full-state continuation: restore params + "
+                                 "AdamW moments + step from a train() "
+                                 "checkpoint and replay the remaining epochs "
+                                 "bit-for-bit (beyond-reference; the default "
+                                 "train-on is the reference's weights-only "
+                                 "semantics — AdamW restarts)")
             sp.add_argument("--n-data", type=int, default=None,
                             help="data-parallel mesh size (default: auto)")
             sp.add_argument("--n-model", type=int, default=None,
@@ -507,8 +518,8 @@ def main(argv=None) -> int:
         with open(args.config) as f:
             cfg = TrainConfig.from_json(f.read())
     for flag in (
-        "raw_dir", "checkpoint", "seed", "epochs", "size_batch", "lr",
-        "w_env", "w_frq", "w_kld", "metrics_csv", "n_data", "n_model",
+        "raw_dir", "checkpoint", "resume", "seed", "epochs", "size_batch",
+        "lr", "w_env", "w_frq", "w_kld", "metrics_csv", "n_data", "n_model",
         "augment_orbit", "val_banks", "val_every_epochs",
     ):
         v = getattr(args, flag, None)
@@ -584,9 +595,11 @@ def main(argv=None) -> int:
         fn(
             G, args.checkpoint, cfg.epochs, cfg.size_batch, cfg.lr,
             cfg.w_env, cfg.w_frq, cfg.w_kld, seed=cfg.seed,
+            resume=cfg.resume,
             metrics_csv=cfg.metrics_csv, extra_epoch=cfg.extra_epoch,
-            # a resumed run extends its CSV history; a fresh one truncates
-            metrics_append=(args.cmd == "train-on"),
+            # a resumed/continued run extends its CSV history; a fresh one
+            # truncates
+            metrics_append=(args.cmd == "train-on" or cfg.resume is not None),
             n_data=cfg.n_data, n_model=cfg.n_model, save_every=cfg.save_every_epochs,
             val_split=val, val_every=cfg.val_every_epochs,
         )

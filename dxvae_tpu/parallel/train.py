@@ -36,6 +36,22 @@ def init_train_state(key, optimizer, cfg: DXVAEConfig = DXVAEConfig(), params=No
     return TrainState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
+def opt_state_shardings(opt_state, param_sh, replicated_sh):
+    """Sharding pytree mirroring an optax chain state: the AdamW moment
+    subtrees (``mu``/``nu``) have the params' tree structure, so they inherit
+    the params' shardings; every other leaf (step counts, empty states) is
+    replicated.  Used to ``device_put`` a RESTORED optimizer state onto a
+    tensor-parallel mesh — re-running ``optimizer.init`` there would zero the
+    moments and reset the bias-correction count (the round-4 resume bug)."""
+
+    def one(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=replicated_sh, mu=param_sh, nu=param_sh)
+        return jax.tree.map(lambda _: replicated_sh, s)
+
+    return tuple(one(s) for s in opt_state)
+
+
 def make_train_step(
     optimizer,
     cfg: DXVAEConfig = DXVAEConfig(),

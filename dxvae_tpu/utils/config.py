@@ -23,6 +23,12 @@ class TrainConfig:
     w_frq: float = 5.0
     w_kld: float = 0.01
     checkpoint: str = "auto.chk.npz"
+    # full-state continuation (beyond-reference): restore params + AdamW
+    # moments + step from an atomic train() checkpoint and replay the
+    # remaining epochs bit-for-bit (api.DXVAE.train(resume=)).  None keeps
+    # the reference's weights-only semantics (train-on loads weights, AdamW
+    # restarts — model.py:388)
+    resume: str | None = None
     raw_dir: str = "DX_data"
     seed: int = 0
     # reference quirk (model.py:378): `range(epochs + 1)` runs one extra epoch;

@@ -20,6 +20,10 @@ def main():
     ap.add_argument("--k-lo", type=int, default=2)
     ap.add_argument("--k-hi", type=int, default=10)
     ap.add_argument("--scan", action="store_true")
+    ap.add_argument("--remat", action="store_true",
+                    help="rematerialize the cadence on the backward pass "
+                         "(DXVAEConfig.remat): trades recompute FLOPs for "
+                         "activation memory — the max-batch headroom lever")
     ap.add_argument("--repeats", type=int, default=5)
     ap.add_argument("--raw-dir", default=None, help="bank directory (default: $DXVAE_RAW_DIR or the reference mount)")
     args = ap.parse_args()
@@ -29,7 +33,8 @@ def main():
     from dxvae_tpu.models import DXVAEConfig, LossWeights, forward, init_params
     from dxvae_tpu.parallel.train import init_train_state, make_optimizer
 
-    cfg = DXVAEConfig(compute_dtype=args.dtype, unroll=not args.scan)
+    cfg = DXVAEConfig(compute_dtype=args.dtype, unroll=not args.scan,
+                      remat=args.remat)
     n = args.batch
     b = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_tb_cache",
                   include="synprez").batch.tile_to(n)
@@ -74,7 +79,8 @@ def main():
         print(f"# WARNING: two-K estimates noise-dominated "
               f"({[f'{e*1e3:.2f}ms' for e in ests]}); raise --k-hi or --repeats",
               file=sys.stderr)
-    print(f"train step: {per*1e3:.2f} ms @ batch {n} ({n/per:.0f} patches/sec) dtype {args.dtype}")
+    print(f"train step: {per*1e3:.2f} ms @ batch {n} ({n/per:.0f} patches/sec) "
+          f"dtype {args.dtype}{' remat' if args.remat else ''}")
 
 
 if __name__ == "__main__":

@@ -160,6 +160,47 @@ def test_cli_workflows(tmp_path):
     assert "np.int" not in r.stdout  # numpy>=2 scalar reprs would break the dump
 
 
+def test_cli_train_smoke(bank_files, tmp_path):
+    """train-new through the real CLI in a subprocess — the reference's primary
+    workflow (main.py:12-21).  Round 4's positional-arg regression (resume
+    inserted into train()'s signature) escaped because no test ran this path.
+    One bank, one epoch (epochs=0 keeps the reference's +1), must exit 0 and
+    write a loadable full-state checkpoint; train-on --resume then continues
+    from it (the CLI exposure of full-state resume)."""
+    import shutil
+
+    raw = tmp_path / "raw"
+    raw.mkdir()
+    shutil.copy(bank_files[0], raw / "bank0.syx")
+    ck = tmp_path / "smoke.npz"
+    env_code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import sys; from dxvae_tpu.cli import main; sys.exit(main(sys.argv[1:]))"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", env_code, "train-new", "--raw-dir", str(raw),
+         "--epochs", "0", "--size-batch", "32", "--checkpoint", str(ck)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "Finished Training" in r.stdout
+    z = np.load(ck)
+    assert any(k.startswith("t/params") for k in z.files)
+    assert any(k.startswith("t/opt_state") for k in z.files), (
+        "train-new checkpoint must be full-state (resumable)")
+    assert int(z["t/step"]) == 1
+
+    # continue 1 more epoch from the full-state checkpoint via the CLI
+    r = subprocess.run(
+        [sys.executable, "-c", env_code, "train-on", "--raw-dir", str(raw),
+         "--epochs", "2", "--no-extra-epoch", "--size-batch", "32",
+         "--resume", str(ck), "--checkpoint", str(ck)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=1200,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert int(np.load(ck)["t/step"]) == 2
+
+
 def test_cli_interpolate(dataset, tmp_path):
     """Latent interpolation workflow: one batched decode of the whole path,
     multi-bank .syx export (steps > 32), composes with topology projection."""

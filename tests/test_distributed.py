@@ -181,8 +181,13 @@ def test_two_process_kill_and_resume_matches_uninterrupted(tmp_path):
     assert resumed.exists()
 
     a, b = np.load(full), np.load(resumed)
-    keys = [k for k in a.files if k.startswith("t/params")]
-    assert keys and set(a.files) == set(b.files)
+    # ALL train-state leaves — params, AdamW moments, step — must match, not
+    # just params: moment drift that hasn't moved params yet would otherwise
+    # slip through (ADVICE r4)
+    keys = [k for k in a.files if k.startswith("t/")]
+    assert any(k.startswith("t/params") for k in keys)
+    assert any("opt" in k for k in keys), "full-state checkpoint lost its opt_state"
+    assert set(a.files) == set(b.files)
     for k in keys:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
 

@@ -28,12 +28,13 @@ def test_dxvae_documented_signatures():
     assert params_of(DXVAE.__init__)[1:] == [
         "n_nodes", "n_params", "size_X", "size_X0", "size_H", "size_Z",
         "checkpoint", "seed", "strict_parity", "unroll", "compute_dtype"]
-    assert params_of(DXVAE.decode)[1:] == ["z", "project_topology", "alg"]
+    assert params_of(DXVAE.decode)[1:] == [
+        "z", "project_topology", "alg", "topology", "alg_temperature"]
     assert params_of(DXVAE.generate)[1:] == [
         "n", "project_topology", "alg", "prior", "temperature",
-        "valid_only", "max_rounds"]
+        "valid_only", "max_rounds", "topology", "alg_temperature"]
     assert params_of(DXVAE.train)[1:] == [
-        "G_true", "epochs", "size_batch", "lr", "checkpoint",
+        "G_true", "epochs", "size_batch", "lr", "checkpoint", "resume",
         "w_env", "w_frq", "w_kld", "metrics_csv", "metrics_append",
         "extra_epoch", "n_data", "n_model", "shuffle_seed", "save_every",
         "val_split", "val_every"]
@@ -72,9 +73,13 @@ def test_serving_documented_signatures():
         "n", "seed", "prior", "temperature", "valid_only", "max_rounds"]
     assert params_of(serving_http.make_server) == [
         "bundle_path", "host", "port", "verbose", "index_path",
-        "batch_window_ms"]
+        "batch_window_ms", "adaptive_window", "call_timeout_s",
+        "read_timeout_s", "max_body_mb", "follower_timeout_s",
+        "cold_timeout_s", "warmup"]
     assert params_of(serving_http.MicroBatcher.__init__)[1:] == [
-        "fn", "slice_out", "lock", "window_s", "max_batch"]
+        "fn", "slice_out", "call", "window_s", "max_batch", "buckets",
+        "adaptive", "call_timeout_s", "follower_timeout_s", "cold_timeout_s",
+        "hot_s", "name"]
 
 
 def test_parallel_and_utils_documented_signatures():
