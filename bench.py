@@ -184,6 +184,10 @@ def main() -> int:
                          "for reference-parity numerics; bfloat16_mixed keeps f32 "
                          "activation islands (training-quality mode)")
     ap.add_argument("--scan", action="store_true", help="use the scan execution path")
+    ap.add_argument("--quantize-decode", default=None, choices=["int8"],
+                    help="int8-quantize every decode-side matmul "
+                         "(DXVAEConfig.quantize_decode) — the serving "
+                         "quantization A/B arm (docs/PERF.md)")
     ap.add_argument("--mode", default="roundtrip",
                     choices=["roundtrip", "encode", "decode"],
                     help="roundtrip (headline) or the encode-only / decode-only "
@@ -242,7 +246,8 @@ def main() -> int:
     from dxvae_tpu.models import DXVAEConfig, decode, encode, init_params
     from dxvae_tpu.models.dxvae import _compute_params
 
-    cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype)
+    cfg = DXVAEConfig(unroll=not args.scan, compute_dtype=args.dtype,
+                      quantize_decode=args.quantize_decode)
     params = init_params(jax.random.PRNGKey(0), cfg)
     # pre-cast once with the model's own cast policy (no-op in f32): the
     # in-jit master->compute cast is NOT loop-invariant-hoisted out of the

@@ -81,6 +81,14 @@ class DXVAEConfig(NamedTuple):
     # hidden state, gates and aggregations accumulate in f32 — closing the
     # bf16 convergence gap at most of its speed, docs/PERF.md)
     compute_dtype: str = "float32"
+    # "int8" quantizes every DECODE-side matmul (weights per-output-channel
+    # symmetric int8, activations dynamically per-row; int32 MXU
+    # accumulation — ops/matmul.QuantizedWeight).  Non-parity, inference/
+    # serving only: encode and the training loss never quantize.  In AOT
+    # bundles the weight quantization constant-folds to baked int8 tensors.
+    # None (default) = exact decode path.  Measured A/B: docs/PERF.md
+    # "int8 quantized decode".
+    quantize_decode: str | None = None
 
 
 class LossWeights(NamedTuple):
@@ -206,6 +214,34 @@ def _edge_head_split(params):
     w1 = params["h_to_edge"][0]["w"]  # (4H, 2H)
     size_h = w1.shape[1] // 2
     return w1[:, :size_h], w1[:, size_h:], params["h_to_edge"][0]["b"]
+
+
+def _quantize_decode_params(params):
+    """int8-wrap every decode-side matmul weight (``cfg.quantize_decode``).
+
+    Encoder cells, the posterior heads and the aggregator's gate/mapper (only
+    consumed through the packed ``wp``, quantized by the caller) are left
+    untouched; ``h_to_edge[0]`` is consumed via the w1a/w1b split, also
+    quantized at the split site.  Biases stay f32 — dequantized activations
+    add them at full precision.
+    """
+
+    def qlin(lin):
+        lin = dict(lin)
+        lin["w"] = L.quantize_weight(lin["w"])
+        return lin
+
+    p = dict(params)
+    for cell in ("dec_combiner", "dec_looper", "dec_rooter"):
+        c = dict(p[cell])
+        c["w_ih"] = L.quantize_weight(c["w_ih"])
+        c["w_hh"] = L.quantize_weight(c["w_hh"])
+        p[cell] = c
+    p["z_to_h"] = qlin(p["z_to_h"])
+    for head in ("h_to_x0", "h_to_x", "h_to_edge_self"):
+        p[head] = [qlin(layer) for layer in p[head]]
+    p["h_to_edge"] = [p["h_to_edge"][0], qlin(p["h_to_edge"][1])]
+    return p
 
 
 def _edge_logits(params, h_vi, eh_vj, w1a, b1, drop=None):
@@ -353,6 +389,15 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     cdt, dt = _dtypes(cfg, z.dtype)  # generated X/params/adj in full precision
     params = _compute_params(params, cfg)
     wp = _w_pack(params)
+    w1a, w1b, b1 = _edge_head_split(params)
+    if cfg.quantize_decode == "int8":
+        # wrap every decode-side matmul weight (incl. the derived packed
+        # aggregator and split edge-head matrices) as int8; matmul_wT
+        # dispatches on the type.  Biases, grids, thresholds stay f32.
+        params = _quantize_decode_params(params)
+        wp, w1a, w1b = map(L.quantize_weight, (wp, w1a, w1b))
+    elif cfg.quantize_decode is not None:
+        raise ValueError(f"unknown quantize_decode {cfg.quantize_decode!r}")
 
     del init_state  # decode never reads pre-existing node state (windows only
     # cover nodes it has already rewritten), so a fresh zero state is identical
@@ -365,7 +410,6 @@ def decode(params, z, cfg: DXVAEConfig = DXVAEConfig(), init_state: PropState | 
     zero_hin = jnp.zeros((b, h), cdt)
     no_loop = jnp.zeros((b,), dt)
     gate_b = params["gate"]["b"]
-    w1a, w1b, b1 = _edge_head_split(params)
     forced = forced_adj is not None
     if forced:
         forced_adj = forced_adj.astype(dt)

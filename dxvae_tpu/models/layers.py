@@ -63,7 +63,11 @@ def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32):
 
 # one shared implementation (also used by ops.propagate's cached-projection
 # refresh); lives in a leaf module to avoid the models <-> ops import cycle
-from dxvae_tpu.ops.matmul import matmul_wT  # noqa: E402  (re-export)
+from dxvae_tpu.ops.matmul import (  # noqa: E402  (re-export)
+    QuantizedWeight,
+    matmul_wT,
+    quantize_weight,
+)
 
 
 def linear(p, x):

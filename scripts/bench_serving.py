@@ -174,9 +174,15 @@ def main():
             body1 = json.dumps({"X": Xn[:1].tolist(),
                                 "adj": adjn[:1].tolist()})
             ab = {}
-            for label, window in (("window_off", None),
-                                  ("window_on", args.batch_window_ms)):
-                httpd2 = make_server(args.bundle, batch_window_ms=window)
+            # third arm: same window but adaptive — must KEEP the merge win
+            # under same-endpoint concurrency (its cost saving shows up on
+            # lone/mixed traffic, scripts/soak_serving.py)
+            for label, window, adaptive in (
+                    ("window_off", None, False),
+                    ("window_on", args.batch_window_ms, False),
+                    ("window_adaptive", args.batch_window_ms, True)):
+                httpd2 = make_server(args.bundle, batch_window_ms=window,
+                                     adaptive_window=adaptive)
                 threading.Thread(target=httpd2.serve_forever,
                                  daemon=True).start()
                 try:
@@ -227,6 +233,9 @@ def main():
                 **ab,
                 "speedup": round(ab["window_on"]["requests_per_sec"]
                                  / ab["window_off"]["requests_per_sec"], 2),
+                "speedup_adaptive": round(
+                    ab["window_adaptive"]["requests_per_sec"]
+                    / ab["window_off"]["requests_per_sec"], 2),
             }))
         return 0
 

@@ -413,3 +413,49 @@ def test_head_dropout_remat_consistent(params, real_batch):
     np.testing.assert_allclose(float(tp), float(tr), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_quantize_decode_int8(real_batch):
+    """int8 decode (cfg.quantize_decode): every decode-side matmul runs
+    int8xint8->int32 with per-channel weight scales and dynamic per-row
+    activation scales (ops/matmul.QuantizedWeight).  Non-parity serving
+    mode — gate: decisions and features must track the exact path closely,
+    and an unknown value must fail loudly."""
+    from dxvae_tpu.models import decode
+
+    cfg = DXVAEConfig(size_h=64, size_z=16, unroll=False)
+    p = init_params(jax.random.PRNGKey(3), cfg)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(4), (32, 16)))
+    X0, P0, A0 = decode(p, jnp.asarray(z), cfg)
+    Xq, Pq, Aq = decode(p, jnp.asarray(z), cfg._replace(quantize_decode="int8"))
+    assert np.isfinite(np.asarray(Xq)).all()
+    assert float(np.abs(np.asarray(X0) - np.asarray(Xq)).mean()) < 0.05
+    assert float((np.asarray(A0) == np.asarray(Aq)).mean()) > 0.95
+    assert float((np.asarray(P0) == np.asarray(Pq)).mean()) > 0.9
+    # deterministic: the quantized path has no sampling
+    Xq2, _, Aq2 = decode(p, jnp.asarray(z), cfg._replace(quantize_decode="int8"))
+    np.testing.assert_array_equal(np.asarray(Xq), np.asarray(Xq2))
+    with pytest.raises(ValueError, match="quantize_decode"):
+        decode(p, jnp.asarray(z), cfg._replace(quantize_decode="int4"))
+
+
+def test_quantize_decode_int8_exports(tmp_path):
+    """The int8 decode path survives AOT export (jax.export const-folds the
+    weight quantization into baked int8 tensors) and the served artifact
+    matches the live quantized decode bit-for-bit."""
+    from dxvae_tpu.api import DXVAE
+    from dxvae_tpu.models import decode
+    from dxvae_tpu.serving import ServedDXVAE, export_bundle
+
+    model = DXVAE(size_H=64, size_Z=16, seed=5, unroll=False)
+    model.cfg = model.cfg._replace(quantize_decode="int8")
+    path = tmp_path / "q.npz"
+    export_bundle(model, path, batch_sizes=(8,), functions=("decode",),
+                  platforms=("cpu",))
+    srv = ServedDXVAE.load(path)
+    z = np.asarray(jax.random.normal(jax.random.PRNGKey(6), (8, 16)), np.float32)
+    Xs, Ps, As = srv.decode(z)
+    Xl, Pl, Al = decode(model.params, jnp.asarray(z), model.cfg)
+    np.testing.assert_array_equal(np.asarray(Xs), np.asarray(Xl))
+    np.testing.assert_array_equal(np.asarray(Ps), np.asarray(Pl))
+    np.testing.assert_array_equal(np.asarray(As), np.asarray(Al))
