@@ -401,6 +401,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--platforms", default="cpu,tpu",
                     help="comma-separated lowering targets (default: cpu,tpu)")
     sp.add_argument("--functions", default="encode,decode,roundtrip")
+    sp.add_argument("--quantize-decode", default=None, choices=["int8"],
+                    help="bake int8-quantized decode-side matmuls into the "
+                         "artifact (per-channel weights, dynamic activation "
+                         "scales; non-parity — measured fidelity/throughput "
+                         "in docs/PERF.md 'int8 quantized decode')")
     sp = sub.add_parser(
         "serve",
         help="run inference against an exported bundle — no checkpoint and "
@@ -687,6 +692,8 @@ def main(argv=None) -> int:
         from dxvae_tpu.serving import export_bundle
 
         model = _model_for(args.checkpoint, cfg.seed)
+        if args.quantize_decode:
+            model.cfg = model.cfg._replace(quantize_decode=args.quantize_decode)
         man = export_bundle(
             model, args.out,
             batch_sizes=[int(b) for b in args.batch_sizes.split(",")],

@@ -98,7 +98,8 @@ def export_bundle(model, path, batch_sizes=(32, 1024),
                 "size_x": cfg.size_x, "size_x0": cfg.size_x0,
                 "size_h": cfg.size_h, "size_z": cfg.size_z,
                 "strict_parity": cfg.strict_parity, "unroll": cfg.unroll,
-                "compute_dtype": cfg.compute_dtype},
+                "compute_dtype": cfg.compute_dtype,
+                "quantize_decode": cfg.quantize_decode},
     }
     if include_prior and getattr(model, "prior", None) is not None:
         for k, v in zip(("log_weights", "means", "chol"), model.prior):

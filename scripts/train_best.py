@@ -65,6 +65,18 @@ ap.add_argument("--val-every", type=int, default=500,
                 help="epochs between val-ELBO evaluations (with --val-banks)")
 ap.add_argument("--no-unroll", action="store_true",
                 help="batched-cadence path (fast compile; CPU dev runs)")
+ap.add_argument("--weight-decay", type=float, default=0.01,
+                help="AdamW decoupled weight decay (0.01 = the torch-parity "
+                     "default; measured a dead lever on the CV gate, "
+                     "docs/PERF.md 'Recipe levers')")
+ap.add_argument("--dropout", type=float, default=0.0,
+                help="decoder-head dropout rate (DXVAEConfig.head_dropout); "
+                     "0.1 + --jitter 1.0 is the measured-best generalization "
+                     "recipe (docs/PERF.md 'Recipe levers')")
+ap.add_argument("--jitter", type=float, default=0.0,
+                help="within-quantization-bin feature jitter amount in "
+                     "(0,1]: per-batch host-side augmentation of X "
+                     "(data/augment.py); acoustically identical inputs")
 args = ap.parse_args()
 if args.canonicalize_orbit and args.augment_orbit is not None:
     raise SystemExit("--canonicalize-orbit and --augment-orbit are mutually "
@@ -73,7 +85,7 @@ if args.canonicalize_orbit and args.augment_orbit is not None:
 
 EPOCHS, BATCH, PEAK_LR = args.epochs, args.batch, args.peak_lr
 cfg = DXVAEConfig(size_h=args.size_h, size_z=args.size_z,
-                  unroll=not args.no_unroll)
+                  unroll=not args.no_unroll, head_dropout=args.dropout)
 weights = LossWeights(w_env=3.0, w_frq=6.0, w_kld=args.w_kld)
 
 ds = DXDataset(args.raw_dir or default_raw_dir(), save_dir="/tmp/dx_best_cache", include="synprez")
@@ -129,7 +141,8 @@ total_steps = EPOCHS * iters
 
 warmup = min(200, max(1, total_steps // 10))
 sched = optax.warmup_cosine_decay_schedule(0.0, PEAK_LR, warmup, total_steps, PEAK_LR * 1e-2)
-opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.01)
+opt = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                  weight_decay=args.weight_decay)
 state = init_train_state(jax.random.PRNGKey(0), opt, cfg)
 print("params:", param_count(state.params))
 step = make_train_step(opt, cfg, weights)
@@ -147,17 +160,24 @@ key = jax.random.PRNGKey(1)
 t0 = time.time()
 last = None
 gstep = 0
+if args.jitter > 0.0:
+    from dxvae_tpu.data.augment import jitter_within_bin
 for epoch in range(EPOCHS):
     perm = rng.permutation(n)
     for i in range(iters):
         idx = perm[i * BATCH : (i + 1) * BATCH]
         key, sub = jax.random.split(key)
+        bx = X[idx]
+        if args.jitter > 0.0:
+            # fresh within-bin presentation every epoch (host-side; the
+            # quantizer maps any within-bin X to the same integer targets)
+            bx = jitter_within_bin(bx, P[idx], rng, amount=args.jitter)
         if anneal_steps:
             # traced scalar: the schedule costs zero retraces
             w = np.float32(args.w_kld * min(1.0, gstep / anneal_steps))
-            state, m = step(state, X[idx], P[idx], A[idx], sub, w)
+            state, m = step(state, bx, P[idx], A[idx], sub, w)
         else:
-            state, m = step(state, X[idx], P[idx], A[idx], sub)
+            state, m = step(state, bx, P[idx], A[idx], sub)
         last = m
         gstep += 1
     if epoch % 500 == 0 or epoch == EPOCHS - 1:
