@@ -459,3 +459,22 @@ def test_quantize_decode_int8_exports(tmp_path):
     np.testing.assert_array_equal(np.asarray(Xs), np.asarray(Xl))
     np.testing.assert_array_equal(np.asarray(Ps), np.asarray(Pl))
     np.testing.assert_array_equal(np.asarray(As), np.asarray(Al))
+
+
+def test_ab_int8_script_micro(tmp_path):
+    """scripts/ab_int8_decode.py CPU micro: runs, reports sane fidelity, and
+    appends a JSON line (the measured-workflow harness for the int8 serving
+    quantization A/B)."""
+    from scripts._lib import load_sibling
+
+    ab = load_sibling("ab_int8_decode")
+    out = tmp_path / "ab.jsonl"
+    rep = ab.main(["--size-h", "32", "--no-unroll", "--n", "32",
+                   "--skip-serving", "--dtype", "float32",
+                   "--out", str(out)])
+    assert rep["adj_agreement"] > 0.9
+    assert rep["param_agreement"] > 0.9
+    assert rep["x_mae"] < 0.05
+    import json
+
+    assert json.loads(out.read_text())["experiment"] == "int8_quantized_decode"
