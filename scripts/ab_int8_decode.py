@@ -117,7 +117,7 @@ def main(argv=None):
             for _ in range(args.serving_repeats):
                 t0 = time.perf_counter()
                 out = srv.decode(zb)
-                np.asarray(out[1]).sum()  # materialize identically both arms
+                np.asarray(out.params).sum()  # materialize identically both arms
                 ts.append(time.perf_counter() - t0)
             ts.sort()
             times[label] = ts[len(ts) // 2]
