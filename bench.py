@@ -253,6 +253,13 @@ def main() -> int:
     # in-jit master->compute cast is NOT loop-invariant-hoisted out of the
     # chained fori, costing ~0.3 ms per iteration
     params = _compute_params(params, cfg)
+    if args.quantize_decode == "int8":
+        # pre-quantize for the same reason (idempotent: decode re-runs the
+        # transform as a no-op) — AOT serving const-folds this too, so the
+        # in-loop A/B must not pay per-iteration re-quantization
+        from dxvae_tpu.models.dxvae import _quantize_decode_params
+
+        params = _quantize_decode_params(params)
 
     ds = DXDataset(args.raw_dir or default_raw_dir(),
                    save_dir="/tmp/dxvae_bench_cache", include="synprez")

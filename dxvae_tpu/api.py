@@ -538,7 +538,19 @@ class DXVAE:
         if resume is not None:
             # restore the FULL TrainState (params, AdamW moments, step) into
             # the freshly-built template; stream fast-forwarding happens
-            # below once the rng and total_epochs exist
+            # below once the rng and total_epochs exist.  A weights-only file
+            # cannot honor the bit-for-bit continuation contract
+            # (load_checkpoint would silently keep zeroed moments/step=0 and
+            # retrain from scratch) — fail loudly; weights-only restarts are
+            # what checkpoint=/DXVAE(checkpoint=) already provide
+            with np.load(resume) as _z:
+                if not any(k.startswith("t/opt_state/") for k in _z.files):
+                    raise ValueError(
+                        f"resume={resume!r} is a weights-only checkpoint (no "
+                        "optimizer state): full-state continuation is "
+                        "impossible.  Pass it as checkpoint= / "
+                        "DXVAE(checkpoint=...) for the reference's "
+                        "weights-only restart semantics instead.")
             state = load_checkpoint(resume, state)
             step_done = int(state.step)
             if step_done % n_iters:

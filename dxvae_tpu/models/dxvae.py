@@ -170,17 +170,24 @@ def _compute_params(params, cfg: DXVAEConfig):
     convergence gap — keeping just those six (H, 3H) matrices f32 trains to
     within ~1% of full f32 at ~1.3x its speed, while rounding them costs 27%+
     final loss."""
+    # pre-quantized int8 nodes pass through untouched (their int8/scale
+    # leaves must never be cast; quantization already fixed their precision)
+    _is_q = lambda a: isinstance(a, L.QuantizedWeight)
     if cfg.compute_dtype == "bfloat16":
-        return jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+        return jax.tree.map(
+            lambda a: a if _is_q(a) else a.astype(jnp.bfloat16),
+            params, is_leaf=_is_q)
     if cfg.compute_dtype == "bfloat16_mixed":
 
         def cast(path, a):
+            if _is_q(a):
+                return a
             name = getattr(path[-1], "key", None)
             if a.ndim >= 2 and name != "w_hh":
                 return a.astype(jnp.bfloat16)
             return a
 
-        return jax.tree_util.tree_map_with_path(cast, params)
+        return jax.tree_util.tree_map_with_path(cast, params, is_leaf=_is_q)
     return params
 
 
@@ -226,16 +233,22 @@ def _quantize_decode_params(params):
     add them at full precision.
     """
 
+    def q(w):
+        # idempotent: callers may pre-quantize the tree OUTSIDE a loop/jit
+        # (bench.py hoists it off the per-iteration path) and decode re-runs
+        # this transform harmlessly
+        return w if isinstance(w, L.QuantizedWeight) else L.quantize_weight(w)
+
     def qlin(lin):
         lin = dict(lin)
-        lin["w"] = L.quantize_weight(lin["w"])
+        lin["w"] = q(lin["w"])
         return lin
 
     p = dict(params)
     for cell in ("dec_combiner", "dec_looper", "dec_rooter"):
         c = dict(p[cell])
-        c["w_ih"] = L.quantize_weight(c["w_ih"])
-        c["w_hh"] = L.quantize_weight(c["w_hh"])
+        c["w_ih"] = q(c["w_ih"])
+        c["w_hh"] = q(c["w_hh"])
         p[cell] = c
     p["z_to_h"] = qlin(p["z_to_h"])
     for head in ("h_to_x0", "h_to_x", "h_to_edge_self"):

@@ -76,8 +76,12 @@ def main(argv=None):
     z = jnp.asarray(np.random.default_rng(0).standard_normal(
         (args.n, cfg.size_z)).astype(np.float32))
 
-    X0, P0, A0 = (np.asarray(a) for a in decode(model.params, z, cfg))
-    Xq, Pq, Aq = (np.asarray(a) for a in decode(model.params, z, cfg_q))
+    # jit each arm (static cfg via closure): un-jitted decode would dispatch
+    # the 33-step cadence op-by-op over the tunnel — minutes instead of ms
+    dec = jax.jit(lambda p, zz: decode(p, zz, cfg))
+    dec_q = jax.jit(lambda p, zz: decode(p, zz, cfg_q))
+    X0, P0, A0 = (np.asarray(a) for a in dec(model.params, z))
+    Xq, Pq, Aq = (np.asarray(a) for a in dec_q(model.params, z))
 
     report = {
         "experiment": "int8_quantized_decode",

@@ -435,6 +435,20 @@ def test_quantize_decode_int8(real_batch):
     # deterministic: the quantized path has no sampling
     Xq2, _, Aq2 = decode(p, jnp.asarray(z), cfg._replace(quantize_decode="int8"))
     np.testing.assert_array_equal(np.asarray(Xq), np.asarray(Xq2))
+    # the unrolled cadence (the DXVAE/CLI default and the path the published
+    # A/B ran on) must agree with the scan path under quantization exactly,
+    # mirroring test_scan_equals_unrolled for the exact path
+    Xu, Pu, Au = decode(p, jnp.asarray(z),
+                        cfg._replace(quantize_decode="int8", unroll=True))
+    np.testing.assert_array_equal(np.asarray(Xq), np.asarray(Xu))
+    np.testing.assert_array_equal(np.asarray(Pq), np.asarray(Pu))
+    np.testing.assert_array_equal(np.asarray(Aq), np.asarray(Au))
+    # pre-quantized trees pass through idempotently (the bench hoist path)
+    from dxvae_tpu.models.dxvae import _compute_params, _quantize_decode_params
+
+    pq = _quantize_decode_params(_compute_params(p, cfg))
+    Xp, Pp, Ap = decode(pq, jnp.asarray(z), cfg._replace(quantize_decode="int8"))
+    np.testing.assert_array_equal(np.asarray(Xq), np.asarray(Xp))
     with pytest.raises(ValueError, match="quantize_decode"):
         decode(p, jnp.asarray(z), cfg._replace(quantize_decode="int4"))
 

@@ -412,3 +412,13 @@ def test_train_resume_full_state_matches_uninterrupted(dataset, tmp_path):
     with pytest.raises(ValueError, match="nothing to do"):
         DXVAE(size_H=32, size_Z=16, seed=3, unroll=False).train(
             G, epochs=1, resume=str(ck), **kw)
+
+    # a weights-only file cannot honor the continuation contract: resuming
+    # from it must fail loudly (load_checkpoint would otherwise silently keep
+    # zeroed moments/step=0 and retrain from scratch), pointing the user at
+    # the weights-only checkpoint= semantics instead
+    wk = tmp_path / "weights_only.npz"
+    interrupted.save(str(wk))
+    with pytest.raises(ValueError, match="weights-only"):
+        DXVAE(size_H=32, size_Z=16, seed=3, unroll=False).train(
+            G, epochs=3, resume=str(wk), **kw)
